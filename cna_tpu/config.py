@@ -1,0 +1,73 @@
+"""Global numeric / device configuration for cna_tpu.
+
+The reference implementation (immunogenomics/cna) computes everything in
+float64 on the host CPU (numpy/pandas defaults).  On TPU, float64 is
+emulated and slow; the framework therefore supports two precision modes:
+
+* ``x64``  -- float64 end-to-end, used for bit-close agreement with the
+  reference (golden tests, small data).
+* ``f32``  -- float32 compute (bfloat16 matmul accumulation in the hot
+  SpMM where safe), used for throughput on real TPU hardware.
+
+Precision is controlled process-wide through ``jax.config.jax_enable_x64``
+plus the helpers here, mirroring how the reference inherits numpy's dtype
+defaults rather than threading dtypes through every call.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+def enable_x64(enable: bool = True) -> None:
+    """Toggle float64 compute (required for reference-exact agreement)."""
+    jax.config.update("jax_enable_x64", enable)
+
+
+def x64_enabled() -> bool:
+    return bool(jax.config.jax_enable_x64)
+
+
+def default_float():
+    """The working dtype for dense statistics (NAM, projections, tests)."""
+    return jnp.float64 if x64_enabled() else jnp.float32
+
+
+def spmm_dtype():
+    """Dtype for the diffusion SpMM hot loop.
+
+    In f32 mode the gather/multiply-accumulate runs in float32 (bfloat16
+    inputs lose too much precision over <=15 accumulating diffusion steps
+    for the downstream kurtosis stopping rule to stay faithful).
+    """
+    return default_float()
+
+
+@dataclasses.dataclass(frozen=True)
+class Precision:
+    """Frozen record of the precision policy in force for a pipeline run."""
+
+    x64: bool
+
+    @property
+    def float(self):
+        return jnp.float64 if self.x64 else jnp.float32
+
+
+def current_precision() -> Precision:
+    return Precision(x64=x64_enabled())
+
+
+@contextlib.contextmanager
+def precision(x64: bool):
+    """Context manager for temporarily switching precision mode."""
+    old = x64_enabled()
+    try:
+        enable_x64(x64)
+        yield current_precision()
+    finally:
+        enable_x64(old)

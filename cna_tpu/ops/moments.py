@@ -1,0 +1,105 @@
+"""Moment statistics (kurtosis, standardization, correlation) as pure XLA.
+
+These replace the scipy/pandas statistic calls the reference makes on host
+numpy arrays:
+
+* Fisher kurtosis with biased moments (``scipy.stats.kurtosis`` defaults),
+  used by the diffusion stopping rule (reference ``_nam.py:59``) and the
+  batch-QC / ridge-sweep checks (``_nam.py:80-82,150``).
+* Column standardization with explicit ``ddof`` — the reference mixes
+  pandas (ddof=1, e.g. ``_nam.py:104,126,159``) and numpy (ddof=0, e.g.
+  ``_association.py:22,52,97``) conventions, so every call site here
+  states its ddof explicitly.
+* Squared column correlation R², the step-to-step diffusion diagnostic
+  (``_nam.py:47-49``).
+
+All functions are jit-compatible and shape-polymorphic over leading axes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def kurtosis(x, axis=0):
+    """Fisher (excess) kurtosis with biased moment estimators.
+
+    Matches ``scipy.stats.kurtosis(x, axis=axis)`` defaults
+    (fisher=True, bias=True): ``m4 / m2**2 - 3`` with population moments.
+    Zero-variance slices yield NaN (0/0), as scipy's default propagates.
+    """
+    m = jnp.mean(x, axis=axis, keepdims=True)
+    d = x - m
+    m2 = jnp.mean(d * d, axis=axis)
+    m4 = jnp.mean((d * d) * (d * d), axis=axis)
+    return m4 / (m2 * m2) - 3.0
+
+
+def colstd(x, ddof=0, axis=0):
+    """Standard deviation along ``axis`` with explicit ddof.
+
+    ddof=0 reproduces ``np.std``; ddof=1 reproduces ``pandas.std``.
+    """
+    n = x.shape[axis]
+    m = jnp.mean(x, axis=axis, keepdims=True)
+    ss = jnp.sum((x - m) ** 2, axis=axis)
+    return jnp.sqrt(ss / (n - ddof))
+
+
+def standardize(x, ddof=0, axis=0):
+    """(x - mean) / std along ``axis``."""
+    m = jnp.mean(x, axis=axis, keepdims=True)
+    s = colstd(x, ddof=ddof, axis=axis)
+    return (x - m) / jnp.expand_dims(s, axis)
+
+
+def scale_by_std(x, ddof=0, axis=0):
+    """x / std(x) along ``axis`` WITHOUT centering.
+
+    This is what ``zcond / zcond.std()`` does in the reference
+    (``_association.py:52,71,97``): the std is computed about the mean but
+    the vector itself is not recentered.
+    """
+    s = colstd(x, ddof=ddof, axis=axis)
+    return x / jnp.expand_dims(s, axis)
+
+
+def column_r2(a, b, ddof=1):
+    """Squared Pearson correlation of matching columns of ``a`` and ``b``.
+
+    Mirrors the diffusion diagnostic ``R(A, B)**2`` at reference
+    ``_nam.py:47-49``: a mean-normalized cross moment divided by ddof=1
+    (pandas) stds — an idiosyncratic mix replicated here for parity.
+    Constant columns give NaN.
+    """
+    am = a - a.mean(axis=0)
+    bm = b - b.mean(axis=0)
+    cov = (am * bm).mean(axis=0)
+    r = cov / colstd(a, ddof=ddof) / colstd(b, ddof=ddof)
+    return r * r
+
+
+def grouped_mean(x, group_ids, num_groups):
+    """Mean of rows of ``x`` within each group.
+
+    ``group_ids``: int array (n,) with values in [0, num_groups).
+    Returns (num_groups, x.shape[1]).  Used for per-batch neighborhood
+    abundance means (reference ``_batch_kurtosis``, ``_nam.py:80-82``).
+    """
+    onehot = jnp.asarray(
+        group_ids[:, None] == jnp.arange(num_groups)[None, :], dtype=x.dtype
+    )
+    counts = onehot.sum(axis=0)
+    sums = onehot.T @ x
+    return sums / counts[:, None]
+
+
+def batch_kurtosis(nam, batch_ids, num_batches):
+    """Pearson kurtosis (Fisher + 3) across per-batch mean abundances.
+
+    Reference ``_batch_kurtosis`` (``_nam.py:78-82``): for each NAM column
+    (neighborhood), take the mean abundance within each batch, then the
+    kurtosis of those ``num_batches`` values, plus 3 (Pearson convention).
+    """
+    means = grouped_mean(nam, batch_ids, num_batches)
+    return kurtosis(means, axis=0) + 3.0

@@ -1,0 +1,105 @@
+"""Sparse(graph) x dense SpMM for random-walk diffusion, TPU-first.
+
+The reference's entire compiled hot path is one line of scipy CSR matvec
+(``_nam.py:33``: ``a.dot(s/colsums) + self_weight*s/colsums``).  On TPU
+the graph lives in hybrid ELL + COO-overflow form (``cna_tpu.graph.ell``):
+the bulk of edges sit in fixed-width padded neighbor lists, turning SpMM
+into a dense row gather plus a small contraction that XLA maps onto
+vector units at HBM bandwidth; hub-row overflow edges are applied with a
+scatter-add.
+
+Two execution strategies for the ELL part:
+
+* fused gather+einsum — best when the materialized gather (N*K*S
+  elements) fits comfortably in HBM;
+* row-blocked variant via ``lax.map`` — bounds peak memory to
+  ``block_rows*K*S`` for atlas-scale inputs.
+
+A Pallas kernel for the bandwidth-limited regime lives in
+``cna_tpu.ops.spmm_pallas``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ell_spmm(indices, weights, x, block_rows: int | None = None):
+    """Compute ``y[i] = sum_k weights[i, k] * x[indices[i, k]]``.
+
+    Args:
+      indices: int32 (N, K) neighbor row ids; padded entries may point
+        anywhere (weight must be 0 there).
+      weights: (N, K) edge weights, 0 at padding.
+      x: (N, S) dense right-hand side.
+      block_rows: if given, process rows in chunks of this size to bound
+        the (block_rows, K, S) gather buffer.
+
+    Returns: (N, S) dense result.
+    """
+    n = indices.shape[0]
+    if block_rows is None or block_rows >= n:
+        return _ell_spmm_full(indices, weights, x)
+    return _ell_spmm_blocked(indices, weights, x, block_rows)
+
+
+def _ell_spmm_full(indices, weights, x):
+    gathered = jnp.take(x, indices, axis=0)  # (N, K, S)
+    return jnp.einsum(
+        "nk,nks->ns", weights, gathered, preferred_element_type=x.dtype
+    )
+
+
+def _ell_spmm_blocked(indices, weights, x, block_rows):
+    n, k = indices.shape
+    nblocks = -(-n // block_rows)
+    pad = nblocks * block_rows - n
+    if pad:
+        indices = jnp.pad(indices, ((0, pad), (0, 0)))
+        weights = jnp.pad(weights, ((0, pad), (0, 0)))
+    idx_b = indices.reshape(nblocks, block_rows, k)
+    w_b = weights.reshape(nblocks, block_rows, k)
+
+    def one_block(args):
+        idx, w = args
+        g = jnp.take(x, idx, axis=0)  # (block_rows, K, S)
+        return jnp.einsum("nk,nks->ns", w, g, preferred_element_type=x.dtype)
+
+    out = jax.lax.map(one_block, (idx_b, w_b))
+    out = out.reshape(nblocks * block_rows, x.shape[1])
+    return out[:n] if pad else out
+
+
+def coo_spmm_add(out, rows, cols, weights, x):
+    """Scatter-add COO edges: ``out[rows] += weights * x[cols]``.
+
+    Padding edges must have weight 0 (they then contribute nothing
+    regardless of their row/col).  Used for the hub-row overflow tail.
+    """
+    if rows.shape[0] == 0:
+        return out
+    contrib = weights[:, None] * jnp.take(x, cols, axis=0)  # (M, S)
+    return out.at[rows].add(contrib)
+
+
+def graph_spmm(graph, x, block_rows: int | None = None):
+    """Full hybrid SpMM: ELL bulk + COO overflow (``y = A @ x``)."""
+    y = ell_spmm(graph.indices, graph.weights, x, block_rows=block_rows)
+    return coo_spmm_add(
+        y, graph.overflow_rows, graph.overflow_cols, graph.overflow_weights, x
+    )
+
+
+def diffusion_step(s, graph, colsums, self_weight, block_rows=None):
+    """One lazy-random-walk diffusion step.
+
+    Reference ``diffuse_stepwise`` body (``_nam.py:28,33``):
+    ``colsums = a.sum(axis=0) + self_weight`` and
+    ``s' = a @ (s/colsums) + self_weight * s/colsums``.
+    With a symmetric graph, row i of ``a`` holds i's neighbor weights, so
+    the update is a weighted average over neighbors of the column-scaled
+    state plus a scaled self-loop.
+    """
+    t = s / colsums[:, None]
+    return graph_spmm(graph, t, block_rows=block_rows) + self_weight * t

@@ -1,0 +1,160 @@
+"""kNN graph + UMAP fuzzy-simplicial-set connectivities, on device.
+
+Replaces the load-bearing external preprocessing path the reference
+assumes (``sc.pp.neighbors``; see reference demo.ipynb cell 29 and
+``_nam.py:12-19`` which reads its output).  The produced
+``obsp['connectivities']`` follows the same construction as umap-learn's
+``fuzzy_simplicial_set`` (reimplemented from the UMAP paper's definitions):
+
+1. per-point adaptive kernel: ``rho_i`` = distance to nearest neighbor,
+   ``sigma_i`` solved by bisection so the smoothed neighbor weights sum to
+   ``log2(n_neighbors)``;
+2. directed membership strengths ``exp(-(d_ij - rho_i)+ / sigma_i)``;
+3. probabilistic-union symmetrization ``A + A^T - A o A^T``.
+
+Steps 1-2 are one vmapped XLA program; the kNN itself is the blocked
+MXU search in ``cna_tpu.pp.knn``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from .knn import knn_search
+
+_SMOOTH_K_TOLERANCE = 1e-5
+_MIN_K_DIST_SCALE = 1e-3
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def smooth_knn_dist(dists, target, n_iter=64):
+    """Solve for (rho, sigma) per point given ascending kNN distances.
+
+    ``dists``: (N, k) including the self distance 0 in column 0.
+    ``target``: scalar, log2(n_neighbors).
+    Follows umap-learn's ``smooth_knn_dist`` with local_connectivity=1:
+    rho = smallest nonzero distance; sigma by 64-step bisection on
+    ``sum_{j>=1} exp(-(d_ij - rho)+ / sigma) = target`` with the
+    d <= rho terms contributing exactly 1.
+    """
+    nonzero = jnp.where(dists > 0, dists, jnp.inf)
+    rho = jnp.min(nonzero, axis=1)
+    rho = jnp.where(jnp.isfinite(rho), rho, 0.0)
+
+    d_shift = dists[:, 1:] - rho[:, None]  # skip self column
+
+    def psum(sigma):
+        terms = jnp.where(d_shift > 0, jnp.exp(-d_shift / sigma[:, None]), 1.0)
+        return jnp.sum(terms, axis=1)
+
+    def body(_, state):
+        lo, hi, mid = state
+        val = psum(mid)
+        done = jnp.abs(val - target) < _SMOOTH_K_TOLERANCE
+        too_big = val > target
+        new_hi = jnp.where(~done & too_big, mid, hi)
+        new_lo = jnp.where(~done & ~too_big, mid, lo)
+        new_mid = jnp.where(
+            done,
+            mid,
+            jnp.where(
+                too_big,
+                (lo + new_hi) / 2.0,
+                jnp.where(jnp.isinf(new_hi), mid * 2.0, (new_lo + new_hi) / 2.0),
+            ),
+        )
+        return new_lo, new_hi, new_mid
+
+    n = dists.shape[0]
+    state = (
+        jnp.zeros(n, dtype=dists.dtype),
+        jnp.full(n, jnp.inf, dtype=dists.dtype),
+        jnp.ones(n, dtype=dists.dtype),
+    )
+    _, _, sigma = jax.lax.fori_loop(0, n_iter, body, state)
+
+    # clamp tiny sigmas relative to the mean local distance scale
+    mean_d_local = jnp.mean(dists, axis=1)
+    mean_d_global = jnp.mean(dists)
+    sigma = jnp.where(
+        rho > 0,
+        jnp.maximum(sigma, _MIN_K_DIST_SCALE * mean_d_local),
+        jnp.maximum(sigma, _MIN_K_DIST_SCALE * mean_d_global),
+    )
+    return rho, sigma
+
+
+@jax.jit
+def membership_strengths(dists, rho, sigma):
+    """Directed edge weights exp(-(d - rho)+ / sigma); self edges get 0."""
+    w = jnp.exp(-jnp.maximum(dists - rho[:, None], 0.0) / sigma[:, None])
+    # column 0 is the self edge (distance 0) — excluded as in umap-learn
+    return w.at[:, 0].set(0.0)
+
+
+def fuzzy_connectivities(indices, dists):
+    """Symmetric fuzzy-union connectivity matrix from kNN lists.
+
+    Returns a scipy CSR (N x N): ``A + A^T - A o A^T``.
+    """
+    n, k = indices.shape
+    d = jnp.asarray(dists)
+    rho, sigma = smooth_knn_dist(d, jnp.log2(jnp.asarray(float(k))))
+    w = np.asarray(membership_strengths(d, rho, sigma))
+
+    rows = np.repeat(np.arange(n), k)
+    a = sp.csr_matrix((w.ravel(), (rows, np.asarray(indices).ravel())),
+                      shape=(n, n))
+    a.eliminate_zeros()
+    at = a.T.tocsr()
+    result = a + at - a.multiply(at)
+    result.eliminate_zeros()
+    return result.tocsr()
+
+
+def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None):
+    """Build the cell-cell graph: kNN + fuzzy connectivities.
+
+    Drop-in for the role ``sc.pp.neighbors`` plays upstream of the
+    reference: writes ``obsp['distances']`` (directed kNN distances),
+    ``obsp['connectivities']`` (symmetric fuzzy weights, what
+    ``cna_tpu.tl`` diffusion consumes), and ``uns['neighbors']`` metadata.
+
+    Representation: ``obsm[use_rep]`` if given, else ``obsm['X_pca']``
+    (computed on the fly from ``data.X`` when absent), truncated to
+    ``n_pcs`` components.
+    """
+    if use_rep is None:
+        if "X_pca" not in data.obsm:
+            from .pca import pca
+
+            pca(data, n_comps=min(50, data.n_vars))
+        rep = data.obsm["X_pca"]
+    else:
+        rep = data.obsm[use_rep]
+    if n_pcs is not None:
+        rep = rep[:, :n_pcs]
+
+    indices, dists = knn_search(np.asarray(rep), n_neighbors)
+
+    n = data.n_obs
+    rows = np.repeat(np.arange(n), n_neighbors - 1)
+    dist_mat = sp.csr_matrix(
+        (dists[:, 1:].ravel(), (rows, indices[:, 1:].ravel())), shape=(n, n))
+
+    conn = fuzzy_connectivities(indices, dists)
+
+    data.obsp["distances"] = dist_mat
+    data.obsp["connectivities"] = conn
+    data.uns["neighbors"] = {
+        "connectivities_key": "connectivities",
+        "distances_key": "distances",
+        "params": {"n_neighbors": n_neighbors, "method": "umap",
+                   "metric": "euclidean"},
+    }
+    return conn

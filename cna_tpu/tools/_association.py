@@ -1,0 +1,301 @@
+"""Global and local (neighborhood) association testing, TPU-native.
+
+Reimplements reference ``_association.py`` with the three host hot loops
+replaced by batched XLA programs:
+
+* HOT LOOP 2 (null min-p F-tests, reference ``_association.py:84``):
+  all Nnull permutations scored in one projector-matmul + cumsum batch
+  (``ops.ftest.minp_stats_batch``).
+* HOT LOOP 3 (null neighborhood coefficients, ``:96-99``): a single
+  (cells x S) @ (S x Nnull) MXU matmul.
+* The empirical-FDR histogram trick (``_stats.py:34-83``) as a
+  vectorized searchsorted/bincount kernel (``ops.fdr``).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..core.results import Result
+from ..ops import fdr as fdr_ops
+from ..ops import ftest, moments, permutations
+from ._nam import _resid_nam, nam
+from ._out import select_output
+
+
+def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
+                 Nnull=1000, force_permute_all=False, local_test=True,
+                 seed=None, show_progress=False, null_y=None):
+    """Core association test given a residualized NAM decomposition.
+
+    Mirrors reference ``_association`` (``_association.py:10-129``).
+    Inputs may be numpy or jax arrays; ``NAMsvd = (U, svs, V)``.
+
+    ``null_y``: optional precomputed (n, Nnull) matrix of permuted
+    phenotypes — used for exact regression tests against the reference
+    (whose numpy global-seed permutation stream JAX cannot replicate
+    bit-for-bit) and for externally sharded permutation batches.
+    """
+    out = select_output(show_progress)
+
+    if force_permute_all:
+        batches = np.ones(len(y))
+
+    u, sv, v = (jnp.asarray(a) for a in NAMsvd)
+    namresid = jnp.asarray(NAMresid)
+    m_proj = jnp.asarray(M)
+    y = jnp.asarray(y, dtype=u.dtype)
+    y = (y - y.mean()) / y.std()
+    n = y.shape[0]
+
+    if ks is None:
+        incr = max(int(0.02 * n), 1)
+        maxnpcs = max(min(4 * incr, int(n / 5)), 1)
+        ks = np.arange(incr, maxnpcs + 1, incr)
+    ks = np.asarray(ks)
+    if max(ks) + r >= n:
+        raise ValueError(
+            "the largest candidate PC count plus the number of covariates "
+            f"must be below n-1; got {max(ks) + r} with n = {n}. Reduce "
+            "covariates or pass a smaller grid via ks=[...]."
+        )
+    ks_dev = jnp.asarray(ks)
+
+    # observed global test (reference ``:64``)
+    k_arr, p_arr, r2_arr = ftest.minp_stats_batch(u, m_proj, y[:, None], ks_dev, r)
+    k, p, r2 = int(k_arr[0]), float(p_arr[0]), float(r2_arr[0])
+    if k == max(ks):
+        warnings.warn(
+            f"data supported use of {k} NAM PCs, which is the maximum "
+            "considered. Consider allowing more PCs via the ks argument."
+        )
+
+    # coefficients / per-PC r2 with the chosen model (reference ``:70-74``).
+    # NOTE the reference's M is a pandas DataFrame, so ``M.dot(y)`` yields a
+    # Series and ``.std()`` is ddof=1 — replicated here (the global F-test
+    # is invariant to this scale, but yresid/beta outputs are not).
+    ycond = m_proj @ y
+    ycond = ycond / moments.colstd(ycond[:, None], ddof=1, axis=0)[0]
+    beta = u[:, :k].T @ ycond
+    yhat = u[:, :k] @ beta
+    r2_perpc = (beta / jnp.sqrt(ycond @ ycond)) ** 2
+
+    # neighborhood coefficients (full-rank residualized NAM vs standardized
+    # y — NOT ycond; reference ``:77`` and README.md:23 regression note)
+    ncorrs = (namresid.T @ y) / n
+
+    # permutation null (reference ``:80-84``)
+    if null_y is not None:
+        y_ = jnp.asarray(null_y, dtype=u.dtype)
+        if y_.shape != (n, Nnull):
+            raise ValueError(f"null_y must have shape {(n, Nnull)}, got {y_.shape}")
+    else:
+        if seed is not None:
+            key = jax.random.key(seed)
+        else:
+            key = jax.random.key(np.random.randint(0, 2**31 - 1))
+        if donorids is not None:
+            y_ = permutations.grouplevel_permutation(key, donorids, y, Nnull)
+        else:
+            y_ = permutations.conditional_permutation(key, batches, y, Nnull)
+
+    _, nullminps_dev, nullr2s_dev = ftest.minp_stats_batch(u, m_proj, y_, ks_dev, r)
+    nullminps = np.asarray(nullminps_dev)
+    nullr2s = np.asarray(nullr2s_dev)
+    pfinal = ((nullminps <= p + 1e-8).sum() + 1) / (Nnull + 1)
+    if (nullminps <= p + 1e-8).sum() == 0:
+        warnings.warn(
+            "global association p-value attained the minimal possible "
+            "value; consider increasing Nnull"
+        )
+
+    # local neighborhood-level test (reference ``:91-118``)
+    fdrs, fdr_5p_t, fdr_10p_t = None, None, None
+    if local_test:
+        out("computing neighborhood-level FDRs")
+        n_local = min(1000, Nnull)
+        yl = y_[:, :n_local]
+        ycond_ = m_proj @ yl
+        # pandas ddof=1 std (reference's M.dot(y_) is a DataFrame); the
+        # null coefficient scale feeds the FDR thresholds directly.
+        ycond_ = moments.scale_by_std(ycond_, ddof=1, axis=0)
+        nullncorrs = jnp.abs(namresid.T @ ycond_) / n  # (cells, n_local)
+
+        abs_ncorrs = np.abs(np.asarray(ncorrs))
+        maxcorr = max(abs_ncorrs.max(), 0.001)
+        fdr_thresholds = np.arange(maxcorr / 4, maxcorr, maxcorr / 400)
+        fdr_vals = np.asarray(
+            fdr_ops.empirical_fdrs(ncorrs, nullncorrs, jnp.asarray(fdr_thresholds))
+        )
+
+        fdrs = pd.DataFrame({
+            "threshold": fdr_thresholds,
+            "fdr": fdr_vals,
+            "num_detected": [(abs_ncorrs > t).sum() for t in fdr_thresholds],
+        })
+
+        # maximal FDR<5% / FDR<10% sets (reference ``:110-118``)
+        if np.min(fdrs.fdr) > 0.05:
+            fdr_5p_t = None
+        else:
+            fdr_5p_t = fdrs[fdrs.fdr <= 0.05].iloc[0].threshold
+        if np.min(fdrs.fdr) > 0.1:
+            fdr_10p_t = None
+        else:
+            fdr_10p_t = fdrs[fdrs.fdr <= 0.1].iloc[0].threshold
+
+    return Result(
+        p=pfinal, nullminps=nullminps, k=k, ncorrs=np.asarray(ncorrs),
+        fdrs=fdrs, fdr_5p_t=fdr_5p_t, fdr_10p_t=fdr_10p_t,
+        yresid_hat=np.asarray(yhat), yresid=np.asarray(ycond), ks=ks,
+        beta=np.asarray(beta), r2=r2, r2_perpc=np.asarray(r2_perpc),
+        nullr2_mean=nullr2s.mean(), nullr2_std=nullr2s.std(),
+    )
+
+
+def check_inputs(data, y, sid_name, batches, covs, donorids,
+                 allow_low_sample_size):
+    """Validate inputs and derive the valid-sample filter.
+
+    Mirrors reference ``check_inputs`` (``_association.py:131-173``): type
+    checks, index containment, batch/donor mutual exclusion, default
+    all-ones batches, NaN-based sample filtering, minimum-sample gate.
+    """
+    if not isinstance(y, pd.Series):
+        raise TypeError(f"'y' must be a pandas Series, but got {type(y)}")
+    if batches is not None and not isinstance(batches, pd.Series):
+        raise TypeError(f"'batches' must be a pandas Series, but got {type(batches)}")
+    if covs is not None and not isinstance(covs, pd.DataFrame):
+        raise TypeError(f"'covs' must be a pandas DataFrame, but got {type(covs)}")
+    if donorids is not None and not isinstance(donorids, pd.Series):
+        raise TypeError(f"'donorids' must be a pandas Series, but got {type(donorids)}")
+    if not set(y.index).issubset(set(data.obs[sid_name])):
+        print("WARNING: the index of 'y' has entries that never appear in "
+              "data.obs[sid_name]; those samples will be ignored.")
+    if not set(data.obs[sid_name]).issubset(set(y.index)):
+        raise ValueError(
+            "data.obs[sid_name] contains sample ids missing from the index of 'y'."
+        )
+
+    if batches is not None and donorids is not None:
+        raise ValueError(
+            "conditioning on batch while also modeling multiple samples "
+            "per donor is not currently supported"
+        )
+
+    if batches is None:
+        batches = pd.Series(np.ones(len(y)), index=y.index)
+
+    if covs is not None:
+        filter_samples = (
+            ~(y.isna() | covs.isna().any(axis=1))
+            & y.index.isin(data.obs[sid_name].unique())
+        )
+        if donorids is not None:
+            print("WARNING: covariate conditioning does not currently account "
+                  "for multiple samples per donor; the adjustment may be "
+                  "incomplete (expected to matter little in most cases).")
+    else:
+        filter_samples = ~np.isnan(y) & y.index.isin(data.obs[sid_name].unique())
+
+    n_valid = filter_samples.sum()
+    if n_valid < 10 and not allow_low_sample_size:
+        raise ValueError(
+            "phenotype information was supplied for fewer than 10 samples; "
+            "the sample-label permutation null has poor power at this size. "
+            "Pass allow_low_sample_size=True to proceed anyway."
+        )
+
+    return batches, filter_samples
+
+
+def compute_nam_and_reindex(data, y, sid_name, batches, covs, donorids,
+                            filter_samples, nsteps, show_progress, **kwargs):
+    """Compute the NAM and align it to the phenotype's sample order.
+
+    Mirrors reference ``compute_nam_and_reindex`` (``_association.py:
+    175-191``): reindex NAM rows to ``y.index``, filter samples, drop
+    zero-variance columns (updating the cell-level ``kept`` mask).
+    """
+    NAM, kept = nam(data, sid_name, batches=batches, nsteps=nsteps,
+                    show_progress=show_progress, **kwargs)
+    NAM = NAM.reindex(y.index)
+
+    NAM = NAM[filter_samples]
+    zero_variance_col_ix = np.where(NAM.std(axis=0) == 0)[0]
+    nz_ix = np.flatnonzero(kept)
+    kept[nz_ix[zero_variance_col_ix]] = False
+    NAM = NAM.drop(columns=NAM.columns[zero_variance_col_ix])
+
+    return (NAM, kept,
+            batches.reindex(y.index),
+            covs.reindex(y.index) if covs is not None else None,
+            donorids.reindex(y.index) if donorids is not None else None,
+            filter_samples.reindex(y.index))
+
+
+def association(data, y, sid_name, batches=None, covs=None, donorids=None,
+                ks=None, key_added="coef", max_frac_pcs=0.15, nsteps=None,
+                show_progress=False, allow_low_sample_size=False,
+                return_full=False, ridges=None, **kwargs):
+    """Main entry point: test association of a sample-level phenotype with
+    neighborhood abundance (reference ``association``, ``_association.py:
+    193-242``).
+
+    Writes per-cell neighborhood coefficients into ``data.obs[key_added]``
+    and per-cell FDRs into ``data.obs[f'{key_added}_fdr']``; returns the
+    global permutation p-value (or the full result if ``return_full``).
+    """
+    out = select_output(show_progress)
+
+    batches, filter_samples = check_inputs(
+        data, y, sid_name, batches, covs, donorids, allow_low_sample_size)
+
+    NAM, kept, batches, covs, donorids, filter_samples = compute_nam_and_reindex(
+        data, y, sid_name, batches, covs, donorids, filter_samples, nsteps,
+        show_progress, **kwargs)
+
+    n_valid = filter_samples.sum()
+    npcs = min(
+        n_valid,
+        max([10, int(max_frac_pcs * n_valid)] + (list(ks) if ks is not None else [])),
+    )
+    res = _resid_nam(
+        NAM,
+        covs[filter_samples] if covs is not None else covs,
+        batches[filter_samples] if batches is not None else batches,
+        npcs=npcs, ridges=ridges, show_progress=show_progress)
+
+    out("performing association test")
+    dev = res._dev
+    res_ = _association(
+        (dev.u, jnp.asarray(res.namresid_svs.values), dev.v),
+        dev.namresid, dev.m, dev.r,
+        y[filter_samples].values, batches[filter_samples].values,
+        donorids[filter_samples].values if donorids is not None else None,
+        show_progress=show_progress, ks=ks, **kwargs)
+    res.update(res_)
+    res.nam = NAM
+    res.kept = kept
+
+    # per-cell write-back (reference ``:228-237``)
+    if key_added in data.obs:
+        warnings.warn(f"Key '{key_added}' already exists in data.obs. Overwriting.")
+    data.obs[key_added] = np.nan
+    data.obs.loc[kept, key_added] = res.ncorrs
+
+    if res.fdrs is not None:  # local_test=False produces no FDR curve
+        def min_fdr_for_corr(ncorr):
+            matching_fdrs = res.fdrs.loc[res.fdrs.threshold <= abs(ncorr)].fdr
+            return matching_fdrs.min() if not matching_fdrs.empty else 1
+
+        data.obs[f"{key_added}_fdr"] = data.obs[key_added].apply(min_fdr_for_corr)
+
+    if return_full:
+        return res
+    return res.p
