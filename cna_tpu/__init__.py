@@ -17,6 +17,7 @@ plus framework-native layers the reference outsources:
 
 from . import config
 from . import pp
+from . import parallel
 from . import tools as tl
 from . import plotting as pl
 from . import utils as ut

@@ -1,3 +1,4 @@
 from .celldata import CellData
+from .synth import synthetic_dataset
 
-__all__ = ["CellData"]
+__all__ = ["CellData", "synthetic_dataset"]
