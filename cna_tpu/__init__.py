@@ -21,7 +21,7 @@ from . import parallel
 from . import tools as tl
 from . import plotting as pl
 from . import utils as ut
-from .data import CellData
+from .data import CellData, read_h5ad
 from .tools import association, nam, svd_nam, diffuse, diffuse_stepwise
 
 __version__ = "0.1.0"
@@ -33,6 +33,7 @@ __all__ = [
     "diffuse",
     "diffuse_stepwise",
     "CellData",
+    "read_h5ad",
     "tl",
     "pl",
     "ut",

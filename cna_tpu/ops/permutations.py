@@ -3,10 +3,11 @@
 Replaces reference ``_stats.py:4-32``:
 
 * ``conditional_permutation`` — permute the phenotype independently within
-  each batch, ``num`` times (the reference does ``argsort(randn)`` per
-  batch block; here each batch block gets a vmapped ``argsort`` of uniform
-  keys, which induces the same uniform distribution over within-batch
-  permutations).
+  each batch, ``num`` times.  The reference does ``argsort(randn)`` per
+  batch block on host; here all batches and all permutations are one XLA
+  program: a lexicographic (batch, random-key) sort yields a uniform
+  within-batch permutation per null column, scattered back to the
+  original batch layout.
 * ``grouplevel_permutation`` — permute donor-level phenotype values and
   broadcast back to samples (reference validates the phenotype is constant
   within donor).
@@ -19,6 +20,8 @@ matrices (``null_y``) for exact regression tests against the reference.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +32,26 @@ def _encode_groups(values):
     values = np.asarray(values)
     uniq, ids = np.unique(values, return_inverse=True)
     return uniq, ids.astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("num",))
+def _conditional_permutation_dev(key, batch_ids, pos_by_batch, y, num):
+    """One-program within-batch permutation.
+
+    For each null column: lexicographically sort (batch_id, uniform key)
+    carrying the row index along — the carried indices are grouped by
+    batch with a uniform random within-batch order.  Writing ``y`` at
+    those indices into the batch-grouped positions reproduces the
+    reference's scatter (``_stats.py:8-18``) semantics.
+    """
+    n = y.shape[0]
+    r = jax.random.uniform(key, (n, num))
+    batch_b = jnp.broadcast_to(batch_ids[:, None], (n, num))
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, num))
+    _, _, perm = jax.lax.sort((batch_b, r, iota), dimension=0, num_keys=2)
+    permuted_y = y[perm]  # (n, num) — batch-grouped rows, shuffled within
+    out = jnp.zeros((n, num), dtype=y.dtype)
+    return out.at[pos_by_batch].set(permuted_y)
 
 
 def conditional_permutation(key, batches, y, num):
@@ -43,18 +66,12 @@ def conditional_permutation(key, batches, y, num):
     Returns (n, num) array whose columns are within-batch permutations of y.
     """
     y = jnp.asarray(y)
-    n = y.shape[0]
     _, ids = _encode_groups(batches)
-    out = jnp.zeros((n, num), dtype=y.dtype)
-    nb = int(ids.max()) + 1 if n else 0
-    keys = jax.random.split(key, nb)
-    for b in range(nb):
-        idx = np.nonzero(ids == b)[0]
-        r = jax.random.uniform(keys[b], (len(idx), num))
-        order = jnp.argsort(r, axis=0)  # (len(idx), num) random perms
-        permuted = y[idx][order]  # (len(idx), num)
-        out = out.at[idx].set(permuted)
-    return out
+    # positions sorted stably by batch (the reference's concatenated
+    # np.where layout) — host-computable, no RNG involved
+    pos_by_batch = np.argsort(ids, kind="stable").astype(np.int32)
+    return _conditional_permutation_dev(
+        key, jnp.asarray(ids), jnp.asarray(pos_by_batch), y, num)
 
 
 def grouplevel_permutation(key, groups, y, num):
@@ -67,20 +84,23 @@ def grouplevel_permutation(key, groups, y, num):
     y_host = np.asarray(y)
     uniq, ids = _encode_groups(groups)
     ng = len(uniq)
-    # first occurrence of each group, in sorted-unique order
-    first = np.zeros(ng, dtype=np.int64)
-    seen = np.full(ng, False)
-    for i, g in enumerate(ids):
-        if not seen[g]:
-            first[g] = i
-            seen[g] = True
+    first = np.full(ng, -1, dtype=np.int64)
+    for i in range(len(ids) - 1, -1, -1):
+        first[ids[i]] = i
     yg = y_host[first]
     if np.any(yg[ids] != y_host):
         raise ValueError(
             "phenotype must be constant within each donor group for "
             "donor-level permutation"
         )
+    return _grouplevel_permutation_dev(key, jnp.asarray(yg),
+                                       jnp.asarray(ids), num)
+
+
+@partial(jax.jit, static_argnames=("num",))
+def _grouplevel_permutation_dev(key, yg, ids, num):
+    ng = yg.shape[0]
     r = jax.random.uniform(key, (ng, num))
-    order = jnp.argsort(r, axis=0)  # (ng, num)
-    yg_perm = jnp.asarray(yg)[order]  # (ng, num)
+    order = jnp.argsort(r, axis=0)
+    yg_perm = yg[order]  # (ng, num)
     return yg_perm[ids]  # (n, num)

@@ -15,6 +15,7 @@ replaced by batched XLA programs:
 from __future__ import annotations
 
 import warnings
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -24,8 +25,52 @@ import pandas as pd
 from ..core.results import Result
 from ..ops import fdr as fdr_ops
 from ..ops import ftest, moments, permutations
-from ._nam import _resid_nam, nam
+from ._nam import NamArrays, _resid_nam, nam, nam_arrays
 from ._out import select_output
+
+
+@partial(jax.jit, static_argnames=("r",))
+def _assoc_observed(u, m_proj, namresid, y, ks, r):
+    """Observed-phenotype stage, one dispatch.
+
+    Standardize y (numpy ddof=0, reference ``:22``), min-p F-test over the
+    PC grid (``:50-64``), conditional-model coefficients (``:70-74`` —
+    with the reference's pandas ddof=1 scaling of ycond, to which the
+    F-test is invariant but beta/yresid are not), and neighborhood
+    coefficients from the FULL-RANK residualized NAM vs standardized y
+    (``:77``; README.md:23 regression note).
+
+    beta is returned over ALL PCs; the caller slices the first k.
+    """
+    y = (y - y.mean()) / y.std()
+    n = y.shape[0]
+    k_arr, p_arr, r2_arr = ftest.minp_stats_batch(u, m_proj, y[:, None], ks, r)
+    k = k_arr[0]
+    ycond = m_proj @ y
+    ycond = ycond / moments.colstd(ycond[:, None], ddof=1, axis=0)[0]
+    beta_full = u.T @ ycond
+    beta_masked = jnp.where(jnp.arange(u.shape[1]) < k, beta_full, 0.0)
+    yhat = u @ beta_masked
+    r2_perpc_full = (beta_full / jnp.sqrt(ycond @ ycond)) ** 2
+    ncorrs = (namresid.T @ y) / n
+    return k, p_arr[0], r2_arr[0], ycond, yhat, beta_full, r2_perpc_full, ncorrs
+
+
+@partial(jax.jit, static_argnames=("r", "n_local", "local_test"))
+def _assoc_null(u, m_proj, namresid, y_, ks, r, n_local, local_test):
+    """Null-scoring stage, one dispatch: min-p F-tests over all null
+    columns (HOT LOOP 2, ``:84``) and, when ``local_test``, the null
+    neighborhood coefficients (HOT LOOP 3, ``:96-99``)."""
+    _, nullminps, nullr2s = ftest.minp_stats_batch(u, m_proj, y_, ks, r)
+    if not local_test:
+        return nullminps, nullr2s, None
+    n = y_.shape[0]
+    ycond_ = m_proj @ y_[:, :n_local]
+    # pandas ddof=1 std (reference's M.dot(y_) is a DataFrame); the null
+    # coefficient scale feeds the FDR thresholds directly.
+    ycond_ = moments.scale_by_std(ycond_, ddof=1, axis=0)
+    nullncorrs = jnp.abs(namresid.T @ ycond_) / n
+    return nullminps, nullr2s, nullncorrs
 
 
 def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
@@ -50,8 +95,7 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
     namresid = jnp.asarray(NAMresid)
     m_proj = jnp.asarray(M)
     y = jnp.asarray(y, dtype=u.dtype)
-    y = (y - y.mean()) / y.std()
-    n = y.shape[0]
+    n = int(y.shape[0])
 
     if ks is None:
         incr = max(int(0.02 * n), 1)
@@ -66,30 +110,12 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
         )
     ks_dev = jnp.asarray(ks)
 
-    # observed global test (reference ``:64``)
-    k_arr, p_arr, r2_arr = ftest.minp_stats_batch(u, m_proj, y[:, None], ks_dev, r)
-    k, p, r2 = int(k_arr[0]), float(p_arr[0]), float(r2_arr[0])
-    if k == max(ks):
-        warnings.warn(
-            f"data supported use of {k} NAM PCs, which is the maximum "
-            "considered. Consider allowing more PCs via the ks argument."
-        )
-
-    # coefficients / per-PC r2 with the chosen model (reference ``:70-74``).
-    # NOTE the reference's M is a pandas DataFrame, so ``M.dot(y)`` yields a
-    # Series and ``.std()`` is ddof=1 — replicated here (the global F-test
-    # is invariant to this scale, but yresid/beta outputs are not).
-    ycond = m_proj @ y
-    ycond = ycond / moments.colstd(ycond[:, None], ddof=1, axis=0)[0]
-    beta = u[:, :k].T @ ycond
-    yhat = u[:, :k] @ beta
-    r2_perpc = (beta / jnp.sqrt(ycond @ ycond)) ** 2
-
-    # neighborhood coefficients (full-rank residualized NAM vs standardized
-    # y — NOT ycond; reference ``:77`` and README.md:23 regression note)
-    ncorrs = (namresid.T @ y) / n
+    # observed stage (one dispatch)
+    (k_dev, p_dev, r2_dev, ycond, yhat, beta_full, r2_perpc_full,
+     ncorrs_dev) = _assoc_observed(u, m_proj, namresid, y, ks_dev, r)
 
     # permutation null (reference ``:80-84``)
+    ystd = (y - y.mean()) / y.std()
     if null_y is not None:
         y_ = jnp.asarray(null_y, dtype=u.dtype)
         if y_.shape != (n, Nnull):
@@ -100,13 +126,26 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
         else:
             key = jax.random.key(np.random.randint(0, 2**31 - 1))
         if donorids is not None:
-            y_ = permutations.grouplevel_permutation(key, donorids, y, Nnull)
+            y_ = permutations.grouplevel_permutation(key, donorids, ystd, Nnull)
         else:
-            y_ = permutations.conditional_permutation(key, batches, y, Nnull)
+            y_ = permutations.conditional_permutation(key, batches, ystd, Nnull)
 
-    _, nullminps_dev, nullr2s_dev = ftest.minp_stats_batch(u, m_proj, y_, ks_dev, r)
+    n_local = min(1000, Nnull)
+    nullminps_dev, nullr2s_dev, nullncorrs = _assoc_null(
+        u, m_proj, namresid, y_, ks_dev, r, n_local, bool(local_test))
+
+    # ---- host sync point: pull the small results ----
+    k, p, r2 = int(k_dev), float(p_dev), float(r2_dev)
+    ncorrs = np.asarray(ncorrs_dev)
     nullminps = np.asarray(nullminps_dev)
     nullr2s = np.asarray(nullr2s_dev)
+
+    if k == max(ks):
+        warnings.warn(
+            f"data supported use of {k} NAM PCs, which is the maximum "
+            "considered. Consider allowing more PCs via the ks argument."
+        )
+
     pfinal = ((nullminps <= p + 1e-8).sum() + 1) / (Nnull + 1)
     if (nullminps <= p + 1e-8).sum() == 0:
         warnings.warn(
@@ -118,20 +157,12 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
     fdrs, fdr_5p_t, fdr_10p_t = None, None, None
     if local_test:
         out("computing neighborhood-level FDRs")
-        n_local = min(1000, Nnull)
-        yl = y_[:, :n_local]
-        ycond_ = m_proj @ yl
-        # pandas ddof=1 std (reference's M.dot(y_) is a DataFrame); the
-        # null coefficient scale feeds the FDR thresholds directly.
-        ycond_ = moments.scale_by_std(ycond_, ddof=1, axis=0)
-        nullncorrs = jnp.abs(namresid.T @ ycond_) / n  # (cells, n_local)
-
-        abs_ncorrs = np.abs(np.asarray(ncorrs))
+        abs_ncorrs = np.abs(ncorrs)
         maxcorr = max(abs_ncorrs.max(), 0.001)
         fdr_thresholds = np.arange(maxcorr / 4, maxcorr, maxcorr / 400)
         fdr_vals = np.asarray(
-            fdr_ops.empirical_fdrs(ncorrs, nullncorrs, jnp.asarray(fdr_thresholds))
-        )
+            fdr_ops.empirical_fdrs(ncorrs_dev, nullncorrs,
+                                   jnp.asarray(fdr_thresholds)))
 
         fdrs = pd.DataFrame({
             "threshold": fdr_thresholds,
@@ -150,10 +181,11 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
             fdr_10p_t = fdrs[fdrs.fdr <= 0.1].iloc[0].threshold
 
     return Result(
-        p=pfinal, nullminps=nullminps, k=k, ncorrs=np.asarray(ncorrs),
+        p=pfinal, nullminps=nullminps, k=k, ncorrs=ncorrs,
         fdrs=fdrs, fdr_5p_t=fdr_5p_t, fdr_10p_t=fdr_10p_t,
         yresid_hat=np.asarray(yhat), yresid=np.asarray(ycond), ks=ks,
-        beta=np.asarray(beta), r2=r2, r2_perpc=np.asarray(r2_perpc),
+        beta=np.asarray(beta_full)[:k], r2=r2,
+        r2_perpc=np.asarray(r2_perpc_full)[:k],
         nullr2_mean=nullr2s.mean(), nullr2_std=nullr2s.std(),
     )
 
@@ -239,6 +271,43 @@ def compute_nam_and_reindex(data, y, sid_name, batches, covs, donorids,
             filter_samples.reindex(y.index))
 
 
+def _compute_nam_arrays_and_reindex(data, y, sid_name, batches, covs,
+                                    donorids, filter_samples, nsteps,
+                                    show_progress, **kwargs):
+    """Device-resident variant of ``compute_nam_and_reindex``.
+
+    Same semantics (row reindex to y's order, sample filter, zero-variance
+    column drop updating ``kept``) but the NAM never leaves the device;
+    only the small per-column variance mask syncs to host.
+    """
+    arrays, kept = nam_arrays(data, sid_name, batches=batches, nsteps=nsteps,
+                              show_progress=show_progress, **kwargs)
+
+    valid_samples = y.index[filter_samples]
+    row_idx = arrays.samples.get_indexer(valid_samples)
+    if (row_idx < 0).any():
+        missing = list(valid_samples[row_idx < 0][:5])
+        raise ValueError(f"samples {missing} absent from the computed NAM")
+    nam_f = jnp.take(arrays.nam, jnp.asarray(row_idx), axis=0)
+
+    stds = moments.colstd(nam_f, ddof=1, axis=0)
+    zero_var = np.asarray(stds == 0)
+    nz_ix = np.flatnonzero(kept)
+    kept[nz_ix[np.nonzero(zero_var)[0]]] = False
+    cells = arrays.cells
+    if zero_var.any():
+        nam_f = jnp.take(nam_f, jnp.asarray(np.nonzero(~zero_var)[0]), axis=1)
+        cells = cells[~zero_var]
+
+    filtered = NamArrays(nam=nam_f, samples=pd.Index(valid_samples),
+                         cells=cells, nsteps=arrays.nsteps)
+    return (filtered, kept,
+            batches.reindex(y.index),
+            covs.reindex(y.index) if covs is not None else None,
+            donorids.reindex(y.index) if donorids is not None else None,
+            filter_samples.reindex(y.index))
+
+
 def association(data, y, sid_name, batches=None, covs=None, donorids=None,
                 ks=None, key_added="coef", max_frac_pcs=0.15, nsteps=None,
                 show_progress=False, allow_low_sample_size=False,
@@ -256,9 +325,10 @@ def association(data, y, sid_name, batches=None, covs=None, donorids=None,
     batches, filter_samples = check_inputs(
         data, y, sid_name, batches, covs, donorids, allow_low_sample_size)
 
-    NAM, kept, batches, covs, donorids, filter_samples = compute_nam_and_reindex(
-        data, y, sid_name, batches, covs, donorids, filter_samples, nsteps,
-        show_progress, **kwargs)
+    NAM, kept, batches, covs, donorids, filter_samples = (
+        _compute_nam_arrays_and_reindex(
+            data, y, sid_name, batches, covs, donorids, filter_samples,
+            nsteps, show_progress, **kwargs))
 
     n_valid = filter_samples.sum()
     npcs = min(
@@ -274,13 +344,13 @@ def association(data, y, sid_name, batches=None, covs=None, donorids=None,
     out("performing association test")
     dev = res._dev
     res_ = _association(
-        (dev.u, jnp.asarray(res.namresid_svs.values), dev.v),
+        (dev.u, dev.svs, dev.v),
         dev.namresid, dev.m, dev.r,
         y[filter_samples].values, batches[filter_samples].values,
         donorids[filter_samples].values if donorids is not None else None,
         show_progress=show_progress, ks=ks, **kwargs)
     res.update(res_)
-    res.nam = NAM
+    res.set_lazy("nam", NAM.to_df)
     res.kept = kept
 
     # per-cell write-back (reference ``:228-237``)

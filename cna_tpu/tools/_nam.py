@@ -10,11 +10,14 @@ Reimplements the reference's L2/L3 layers (``_nam.py``) on JAX:
 * covariate/batch residualization with the cumulative ridge sweep
   (``_nam.py:118-177``).
 
-Host/device split: the per-step diffusion + stopping statistics run as a
-single jitted XLA program per step; the data-dependent stop, diagnostic
-prints, and QC column drop happen on host between steps (matching the
-reference's observable behavior, and keeping shapes static inside jit).
-Sample-axis linear algebra (S x S) runs on device via ``ops.linalg``.
+Host/device split, tuned for dispatch latency (the TPU may sit behind a
+network tunnel where every host sync costs a round trip): the
+data-dependent diffusion stop and the ridge-sweep early exit run as
+on-device ``lax.while_loop``s — ONE dispatch each — that also record the
+per-step diagnostic trail (kurtosis, R²) into fixed-size buffers, which
+are printed afterwards.  Only shape-changing decisions (QC column drops,
+zero-variance drops) sync a small mask to host.  Sample-axis linear
+algebra (S x S) runs on device via ``ops.linalg``.
 """
 
 from __future__ import annotations
@@ -87,21 +90,53 @@ def _diffusion_step(s, graph, colsums, self_weight, block_rows=None):
                                block_rows=block_rows)
 
 
-@partial(jax.jit, static_argnames=("block_rows",))
-def _diffusion_step_stats(s, old_s, graph, colsums, c_counts, self_weight,
-                          block_rows=None):
-    """One diffusion step fused with the stopping-rule statistics.
+@partial(jax.jit, static_argnames=("maxnsteps", "nsteps", "block_rows"))
+def _diffuse_adaptive(s0, graph, colsums, c_counts, self_weight,
+                      maxnsteps=15, nsteps=None, block_rows=None):
+    """Full diffusion loop fused into one on-device while_loop.
 
-    Returns (s_new, median excess kurtosis over cells, 20th-pct step R²)
-    — the quantities the reference computes per step at ``_nam.py:59-63``.
+    Replicates reference ``_nam``'s stepping (``_nam.py:56-71``): after
+    each step compute the median (across cells) excess kurtosis of the
+    count-normalized state over samples, and the 20th-percentile
+    step-to-step R²; stop when the kurtosis drop is < 3 after >= 3 steps
+    (or after exactly ``nsteps``), capped at ``maxnsteps``.
+
+    Returns (s_final, steps_taken, medkurt trail, R² trail) — the trails
+    are NaN-padded (maxnsteps,) buffers for post-hoc diagnostics printing.
     """
-    s_new = spmm.diffusion_step(s, graph, colsums, self_weight,
-                                block_rows=block_rows)
-    snormed = s_new / c_counts[None, :]
-    medkurt = jnp.median(moments.kurtosis(snormed, axis=1))
-    r2 = moments.column_r2(s_new, old_s)
-    r2p20 = jnp.percentile(r2, 20)
-    return s_new, medkurt, r2p20
+    dtype = s0.dtype
+    nan = jnp.asarray(jnp.nan, dtype)
+
+    def step_stats(s, old_s):
+        s_new = spmm.diffusion_step(s, graph, colsums, self_weight,
+                                    block_rows=block_rows)
+        snormed = s_new / c_counts[None, :]
+        medkurt = jnp.median(moments.kurtosis(snormed, axis=1))
+        r2p20 = jnp.percentile(moments.column_r2(s_new, old_s), 20)
+        return s_new, medkurt, r2p20
+
+    def cond(carry):
+        _, _, _, i, done, _, _ = carry
+        return (~done) & (i < maxnsteps)
+
+    def body(carry):
+        s, old_s, prevmedkurt, i, done, mk_buf, r2_buf = carry
+        s_new, medkurt, r2p20 = step_stats(s, old_s)
+        mk_buf = mk_buf.at[i].set(medkurt)
+        r2_buf = r2_buf.at[i].set(r2p20)
+        if nsteps is None:
+            done = (prevmedkurt - medkurt < 3) & (i + 1 >= 3)
+        else:
+            done = i + 1 >= nsteps
+        return (s_new, s_new, medkurt, i + 1, done, mk_buf, r2_buf)
+
+    init = (
+        s0, jnp.zeros_like(s0), jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        jnp.full((maxnsteps,), nan), jnp.full((maxnsteps,), nan),
+    )
+    s, _, _, i, _, mk_buf, r2_buf = jax.lax.while_loop(cond, body, init)
+    return s, i, mk_buf, r2_buf
 
 
 def diffuse_stepwise(data, s, maxnsteps=15, show_progress=False, self_weight=1):
@@ -156,9 +191,8 @@ class NamArrays:
     nsteps: int = 0
 
     def to_df(self) -> pd.DataFrame:
-        df = pd.DataFrame(np.asarray(self.nam), index=self.samples,
-                          columns=self.cells)
-        return df
+        return pd.DataFrame(np.asarray(self.nam), index=self.samples,
+                            columns=self.cells)
 
 
 def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
@@ -169,7 +203,8 @@ def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
     diffuse until the median per-cell excess kurtosis (across samples, on
     count-normalized state) drops by <3 between steps (minimum 3 steps),
     or exactly ``nsteps`` if given; normalize by per-sample cell counts and
-    transpose.
+    transpose.  The whole loop is one device dispatch; the per-step
+    kurtosis/R² trail is printed afterwards when ``show_progress``.
     """
     out = select_output(show_progress)
 
@@ -182,32 +217,26 @@ def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
 
     graph = get_ell_graph(data)
     dtype = graph.weights.dtype
-    s = jnp.asarray(onehot.to_numpy(), dtype=dtype)
+    s0 = jnp.asarray(onehot.to_numpy(), dtype=dtype)
     c_counts = jnp.asarray(c_counts_host, dtype=dtype)
     colsums = graph.colsums(self_weight)
     sw = jnp.asarray(self_weight, dtype=dtype)
-    block_rows = _auto_block_rows(graph.n_cells, graph.max_degree, s.shape[1])
+    block_rows = _auto_block_rows(graph.n_cells, graph.max_degree, s0.shape[1])
 
-    prevmedkurt = np.inf
-    old_s = jnp.zeros_like(s)
-    steps_taken = 0
-    for i in range(maxnsteps):
-        out("\ttaking step", i + 1)
-        s, medkurt, r2p20 = _diffusion_step_stats(
-            s, old_s, graph, colsums, c_counts, sw, block_rows=block_rows,
-        )
-        old_s = s
-        medkurt = float(medkurt)
-        steps_taken = i + 1
-        out("\tmedian kurtosis:", medkurt + 3)
-        out("\t20th percentile R2(t,t-1):", float(r2p20))
-        if nsteps is None:
-            if prevmedkurt - medkurt < 3 and i + 1 >= 3:
-                out("stopping after", i + 1, "steps")
-                break
-            prevmedkurt = medkurt
-        elif i + 1 == nsteps:
-            break
+    s, steps_dev, mk_buf, r2_buf = _diffuse_adaptive(
+        s0, graph, colsums, c_counts, sw,
+        maxnsteps=maxnsteps, nsteps=nsteps, block_rows=block_rows)
+
+    steps_taken = int(steps_dev)
+    if out.enabled:
+        mk = np.asarray(mk_buf)
+        r2 = np.asarray(r2_buf)
+        for i in range(steps_taken):
+            out("\ttaking step", i + 1)
+            out("\tmedian kurtosis:", mk[i] + 3)
+            out("\t20th percentile R2(t,t-1):", r2[i])
+        if nsteps is None and steps_taken < maxnsteps:
+            out("stopping after", steps_taken, "steps")
 
     nam = (s / c_counts[None, :]).T  # (samples, cells)
     return NamArrays(nam=nam, samples=samples, cells=cells, nsteps=steps_taken)
@@ -286,7 +315,94 @@ def svd_nam(NAM):
     )
 
 
-_DEFAULT_RIDGES = [1e5, 1e4, 1e3, 1e2, 1e1, 1e0, 1e-1, 1e-2, 1e-3, 1e-4, 0]
+_DEFAULT_RIDGES = (1e5, 1e4, 1e3, 1e2, 1e1, 1e0, 1e-1, 1e-2, 1e-3, 1e-4, 0)
+
+
+@partial(jax.jit, static_argnames=("n_batch_cols", "num_batches"))
+def _ridge_sweep(nam_c, c, ridges, batch_ids, n_batch_cols, num_batches):
+    """The cumulative ridge residualization sweep, fused on device.
+
+    Replicates reference ``_nam.py:141-156`` exactly, including the
+    compounding ``NAM_ = M @ NAM_`` across iterations and last-M-wins:
+    for each ridge in the schedule build
+    ``M = I - C (C'C + ridge*n*L)^-1 C'``, apply it cumulatively, and
+    stop once the median batch kurtosis of the running NAM is <= 6.
+
+    Returns (nam_resid, M_last, n_ridges_used, median-kurtosis trail).
+    """
+    nridges = ridges.shape[0]
+    nan = jnp.asarray(jnp.nan, nam_c.dtype)
+
+    def cond(carry):
+        _, _, i, done, _ = carry
+        return (~done) & (i < nridges)
+
+    def body(carry):
+        nam_r, _, i, done, medk_buf = carry
+        m_proj = linalg.residual_projector(c, ridge=ridges[i],
+                                           n_batch_cols=n_batch_cols)
+        nam_r = m_proj @ nam_r
+        kurt = moments.batch_kurtosis(nam_r, batch_ids, num_batches)
+        medk = jnp.median(kurt)
+        medk_buf = medk_buf.at[i].set(medk)
+        return (nam_r, m_proj, i + 1, medk <= 6, medk_buf)
+
+    eye = jnp.eye(nam_c.shape[0], dtype=nam_c.dtype)
+    init = (nam_c, eye, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+            jnp.full((nridges,), nan))
+    nam_r, m_proj, i, _, medk_buf = jax.lax.while_loop(cond, body, init)
+    return nam_r, m_proj, i, medk_buf
+
+
+def _resid_nam_core(arr, covs_arr, batches, samples, ridges=None,
+                    show_progress=False):
+    """Device core of the residualization: returns a dict of device arrays.
+
+    ``arr``: (n, cells) NAM rows aligned to ``samples``.
+    """
+    out = select_output(show_progress)
+    n = arr.shape[0]
+    dtype = arr.dtype
+
+    nam_c = arr - arr.mean(axis=0)
+    if covs_arr is None:
+        covs_arr = jnp.zeros((n, 0), dtype=dtype)
+    else:
+        covs_arr = moments.standardize(jnp.asarray(covs_arr, dtype=dtype),
+                                       ddof=1, axis=0)
+
+    single_batch = batches is None or len(np.unique(batches)) == 1
+    if single_batch:
+        c = covs_arr
+        m_proj = linalg.residual_projector(c)
+        nam_r = m_proj @ nam_c
+    else:
+        b_dummies = pd.get_dummies(batches)
+        b_arr = moments.standardize(
+            jnp.asarray(b_dummies.to_numpy(dtype=float), dtype=dtype),
+            ddof=1, axis=0)
+        c = jnp.concatenate([b_arr, covs_arr], axis=1)
+        nbcols = b_arr.shape[1]
+        _, ids, nb = _encode_batches(batches, samples)
+
+        ridge_schedule = jnp.asarray(
+            ridges if ridges is not None else _DEFAULT_RIDGES, dtype=dtype)
+        nam_r, m_proj, nridges, medk_buf = _ridge_sweep(
+            nam_c, c, ridge_schedule, ids, nbcols, nb)
+        if out.enabled:
+            medk = np.asarray(medk_buf)
+            sched = np.asarray(ridge_schedule)
+            for i in range(int(nridges)):
+                out("\twith ridge", sched[i], "median batch kurtosis = ",
+                    medk[i])
+
+    # standardize (pandas ddof=1, no recentering — reference ``_nam.py:159``;
+    # the exposed namresid is THIS matrix, while svd_nam additionally
+    # centers+standardizes its own local copy, reference ``:103-104,163``)
+    nam_r = nam_r / moments.colstd(nam_r, ddof=1, axis=0)[None, :]
+    _, u, svs, v = linalg.standardize_and_gram_svd(nam_r)
+    return dict(m=m_proj, r=int(c.shape[1]), namresid=nam_r, u=u, svs=svs,
+                v=v)
 
 
 def _resid_nam(NAM, covs, batches, ridges=None, npcs=None, show_progress=False):
@@ -297,74 +413,40 @@ def _resid_nam(NAM, covs, batches, ridges=None, npcs=None, show_progress=False):
     the last-M-wins coupling into the association test.
 
     ``NAM`` may be a DataFrame (samples x cells) or a ``NamArrays``.
-    Returns a ``Result`` with the reference's fields plus device-resident
-    ``_dev`` arrays used by the association core.
+    Returns a ``Result`` with the reference's fields (large DataFrames
+    materialized lazily from device arrays) plus device-resident ``_dev``
+    arrays used by the association core.
     """
-    out = select_output(show_progress)
-
     if isinstance(NAM, NamArrays):
         samples, cells = NAM.samples, NAM.cells
         arr = NAM.nam
     else:
         samples, cells = NAM.index, NAM.columns
         arr = jnp.asarray(NAM.to_numpy(dtype=float))
+
+    covs_arr = None if covs is None else covs.to_numpy(dtype=float)
+    dev = _resid_nam_core(arr, covs_arr, batches, samples, ridges=ridges,
+                          show_progress=show_progress)
     n = arr.shape[0]
-    dtype = arr.dtype
-
-    nam_c = arr - arr.mean(axis=0)
-
-    if covs is None:
-        covs_arr = jnp.zeros((n, 0), dtype=dtype)
-    else:
-        covs_arr = jnp.asarray(covs.to_numpy(dtype=float), dtype=dtype)
-        covs_arr = moments.standardize(covs_arr, ddof=1, axis=0)
-
-    single_batch = batches is None or len(np.unique(batches)) == 1
-    if single_batch:
-        c = covs_arr
-        m_proj = linalg.residual_projector(c)
-        nam_r = m_proj @ nam_c
-    else:
-        b_dummies = pd.get_dummies(batches)
-        b_arr = jnp.asarray(b_dummies.to_numpy(dtype=float), dtype=dtype)
-        b_arr = moments.standardize(b_arr, ddof=1, axis=0)
-        c = jnp.concatenate([b_arr, covs_arr], axis=1)
-        nbcols = b_arr.shape[1]
-        _, ids, nb = _encode_batches(batches, samples)
-
-        if ridges is None:
-            ridges = _DEFAULT_RIDGES
-        nam_r = nam_c
-        for ridge in ridges:
-            m_proj = linalg.residual_projector(c, ridge=ridge, n_batch_cols=nbcols)
-            nam_r = m_proj @ nam_r
-            kurt = np.asarray(_batch_kurtosis_dev(nam_r, ids, nb))
-            medk = np.median(kurt)
-            out("\twith ridge", ridge, "median batch kurtosis = ", medk)
-            if medk <= 6:
-                break
-
-    # standardize (pandas ddof=1, no recentering — reference ``_nam.py:159``;
-    # the exposed namresid is THIS matrix, while svd_nam additionally
-    # centers+standardizes its own local copy, reference ``:103-104,163``)
-    nam_r = nam_r / moments.colstd(nam_r, ddof=1, axis=0)[None, :]
-    _, u, svs, v = linalg.standardize_and_gram_svd(nam_r)
     if npcs is None:
-        npcs = v.shape[1]
+        npcs = int(dev["v"].shape[1])
 
-    pcs = ["PC" + str(i) for i in range(1, u.shape[1] + 1)]
+    pcs = ["PC" + str(i) for i in range(1, dev["u"].shape[1] + 1)]
     res = Result()
-    res._dev = Result(
-        m=m_proj, r=int(c.shape[1]), namresid=nam_r, u=u, svs=svs, v=v,
-        samples=samples, cells=cells,
-    )
-    res.M = pd.DataFrame(np.asarray(m_proj), index=samples, columns=samples)
-    res.r = int(c.shape[1])
-    res.namresid = pd.DataFrame(np.asarray(nam_r), index=samples, columns=cells)
-    res.namresid_sampleXpc = pd.DataFrame(np.asarray(u), index=samples, columns=pcs)
-    res.namresid_nbhdXpc = pd.DataFrame(np.asarray(v), index=cells, columns=pcs)
-    res.namresid_svs = pd.Series(np.asarray(svs), index=pcs)[:npcs]
-    res.namresid_varexp = pd.Series(np.asarray(svs), index=pcs) / n / len(cells)
+    res._dev = Result(samples=samples, cells=cells, **dev)
+    res.r = dev["r"]
+    res.set_lazy("M", lambda: pd.DataFrame(
+        np.asarray(dev["m"]), index=samples, columns=samples))
+    res.set_lazy("namresid", lambda: pd.DataFrame(
+        np.asarray(dev["namresid"]), index=samples, columns=cells))
+    res.set_lazy("namresid_sampleXpc", lambda: pd.DataFrame(
+        np.asarray(dev["u"]), index=samples, columns=pcs))
+    res.set_lazy("namresid_nbhdXpc", lambda: pd.DataFrame(
+        np.asarray(dev["v"]), index=cells, columns=pcs))
+    res.set_lazy("namresid_svs", lambda: pd.Series(
+        np.asarray(dev["svs"]), index=pcs)[:npcs])
+    res.set_lazy("namresid_varexp", lambda: pd.Series(
+        np.asarray(dev["svs"]), index=pcs) / n / len(cells))
     return res
 
 
@@ -378,6 +460,15 @@ def nam(data, sid_name, batches=None, nsteps=None, self_weight=1,
 
     Returns (NAM DataFrame [samples x kept-cells] as float, keep bool array).
     """
+    nam_qc, keep = nam_arrays(data, sid_name, batches=batches, nsteps=nsteps,
+                              self_weight=self_weight,
+                              show_progress=show_progress)
+    return nam_qc.to_df().astype(float), keep
+
+
+def nam_arrays(data, sid_name, batches=None, nsteps=None, self_weight=1,
+               show_progress=False, **kwargs):
+    """Device-resident variant of ``nam``: returns (NamArrays, keep)."""
     out = select_output(show_progress)
 
     if batches is None:
@@ -385,7 +476,6 @@ def nam(data, sid_name, batches=None, nsteps=None, self_weight=1,
         batches = pd.Series(np.ones(len(sids)), index=sids)
 
     out("computing NAM")
-    nam_arrays = _nam(data, sid_name, nsteps=nsteps, self_weight=self_weight,
-                      show_progress=show_progress)
-    nam_qc, keep = _qc_nam_arrays(nam_arrays, batches, show_progress=show_progress)
-    return nam_qc.to_df().astype(float), keep
+    arrays = _nam(data, sid_name, nsteps=nsteps, self_weight=self_weight,
+                  show_progress=show_progress)
+    return _qc_nam_arrays(arrays, batches, show_progress=show_progress)
