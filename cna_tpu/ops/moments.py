@@ -79,6 +79,25 @@ def column_r2(a, b, ddof=1):
     return r * r
 
 
+def column_r2_counted(a, b, n_true, ddof=1):
+    """``column_r2`` for arrays whose rows beyond ``n_true`` are zero padding.
+
+    Computes the same statistic from raw sums with divisor ``n_true`` —
+    padding rows contribute nothing to any sum, so the result matches
+    ``column_r2(a[:n_true], b[:n_true])`` without materializing the slice.
+    """
+    n = n_true
+    sa, sb = a.sum(axis=0), b.sum(axis=0)
+    saa, sbb = (a * a).sum(axis=0), (b * b).sum(axis=0)
+    sab = (a * b).sum(axis=0)
+    ma, mb = sa / n, sb / n
+    cov = sab / n - ma * mb
+    var_a = (saa - n * ma * ma) / (n - ddof)
+    var_b = (sbb - n * mb * mb) / (n - ddof)
+    r = cov / jnp.sqrt(var_a) / jnp.sqrt(var_b)
+    return r * r
+
+
 def grouped_mean(x, group_ids, num_groups):
     """Mean of rows of ``x`` within each group.
 

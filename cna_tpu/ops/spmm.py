@@ -91,8 +91,55 @@ def graph_spmm(graph, x, block_rows: int | None = None):
     )
 
 
+def block_spmm(graph, x, pair_chunk: int = 2048):
+    """Block-dense SpMM: ``y = A @ x`` from (P, B, B) dense tiles.
+
+    Per pair p: ``y[rows[p]] += tiles[p] @ x[cols[p]]`` — a contiguous
+    block gather, a batched MXU matmul, and a sorted scatter-add.  Pairs
+    are processed in chunks to bound the gathered buffer; padding pairs
+    (zero tiles pointing at block 0) contribute nothing.
+    """
+    import jax
+
+    b = graph.block_size
+    s_dim = x.shape[1]
+    xb = x.reshape(-1, b, s_dim)
+    n_blocks = xb.shape[0]
+    p = graph.tiles.shape[0]
+
+    if p <= pair_chunk:
+        gathered = jnp.take(xb, graph.pair_cols, axis=0)  # (P, B, S)
+        prod = jnp.einsum("pij,pjs->pis", graph.tiles, gathered,
+                          preferred_element_type=x.dtype)
+        out = jax.ops.segment_sum(prod, graph.pair_rows,
+                                  num_segments=n_blocks,
+                                  indices_are_sorted=True)
+        return out.reshape(x.shape)
+
+    nchunks = -(-p // pair_chunk)
+    pad = nchunks * pair_chunk - p
+    tiles = jnp.pad(graph.tiles, ((0, pad), (0, 0), (0, 0)))
+    rows = jnp.pad(graph.pair_rows, (0, pad))
+    cols = jnp.pad(graph.pair_cols, (0, pad))
+    tiles_c = tiles.reshape(nchunks, pair_chunk, b, b)
+    rows_c = rows.reshape(nchunks, pair_chunk)
+    cols_c = cols.reshape(nchunks, pair_chunk)
+
+    def body(out, chunk):
+        t_c, r_c, c_c = chunk
+        gathered = jnp.take(xb, c_c, axis=0)
+        prod = jnp.einsum("pij,pjs->pis", t_c, gathered,
+                          preferred_element_type=x.dtype)
+        out = out.at[r_c].add(prod)
+        return out, None
+
+    out0 = jnp.zeros_like(xb)
+    out, _ = jax.lax.scan(body, out0, (tiles_c, rows_c, cols_c))
+    return out.reshape(x.shape)
+
+
 def diffusion_step(s, graph, colsums, self_weight, block_rows=None):
-    """One lazy-random-walk diffusion step.
+    """One lazy-random-walk diffusion step (format-dispatched).
 
     Reference ``diffuse_stepwise`` body (``_nam.py:28,33``):
     ``colsums = a.sum(axis=0) + self_weight`` and
@@ -101,5 +148,9 @@ def diffusion_step(s, graph, colsums, self_weight, block_rows=None):
     the update is a weighted average over neighbors of the column-scaled
     state plus a scaled self-loop.
     """
+    from ..graph.blocks import BlockGraph
+
     t = s / colsums[:, None]
+    if isinstance(graph, BlockGraph):
+        return block_spmm(graph, t) + self_weight * t
     return graph_spmm(graph, t, block_rows=block_rows) + self_weight * t

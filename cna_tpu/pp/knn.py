@@ -20,10 +20,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("k", "key_block", "n"))
-def _knn_query_block(q, x, sq_norms, k, key_block, n):
+@partial(jax.jit, static_argnames=("k", "key_block", "n", "method"))
+def _knn_query_block(q, x, sq_norms, k, key_block, n, method="exact"):
     """Top-k nearest rows of x (first ``n`` rows are real, rest padding)
     for each row of q, merging over key blocks.
+
+    ``method='exact'`` merges with full ``lax.top_k``;
+    ``method='approx'`` reduces each key block with
+    ``jax.lax.approx_max_k`` — XLA's TPU PartialReduce op, the
+    peak-FLOPs approach of the TPU-KNN paper (PAPERS.md: "TPU-KNN: K
+    Nearest Neighbor Search at Peak FLOP/s") — at 0.99 per-block recall.
 
     Returns (neg_sq_dists (Q, k) descending, indices (Q, k)).
     """
@@ -42,8 +48,13 @@ def _knn_query_block(q, x, sq_norms, k, key_block, n):
         # mask out-of-range padding rows
         valid = idx < n
         negd = jnp.where(valid[None, :], -d2, -jnp.inf)
-        cat_d = jnp.concatenate([best_d, negd], axis=1)
-        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(idx[None, :], (nq, key_block))], axis=1)
+        if method == "approx":
+            blk_d, blk_pos = jax.lax.approx_max_k(negd, k, recall_target=0.99)
+            blk_i = idx[blk_pos]
+        else:
+            blk_d, blk_i = negd, jnp.broadcast_to(idx[None, :], (nq, key_block))
+        cat_d = jnp.concatenate([best_d, blk_d], axis=1)
+        cat_i = jnp.concatenate([best_i, blk_i], axis=1)
         top_d, top_pos = jax.lax.top_k(cat_d, k)
         top_i = jnp.take_along_axis(cat_i, top_pos, axis=1)
         return (top_d, top_i), None
@@ -56,11 +67,13 @@ def _knn_query_block(q, x, sq_norms, k, key_block, n):
     return best_d, best_i.astype(jnp.int32)
 
 
-def knn_search(points, k, query_block=4096, key_block=8192):
-    """Exact kNN of ``points`` against themselves.
+def knn_search(points, k, query_block=4096, key_block=8192, method="exact"):
+    """kNN of ``points`` against themselves (exact by default).
 
     Returns (indices (N, k) int32, distances (N, k) float) with neighbors
     sorted by increasing distance; each point is its own first neighbor.
+    ``method='approx'`` trades exactness for the TPU-optimized
+    PartialReduce top-k on large inputs (recall >= ~0.99 per block).
     """
     x = jnp.asarray(points)
     n = x.shape[0]
@@ -73,7 +86,8 @@ def knn_search(points, k, query_block=4096, key_block=8192):
     all_d, all_i = [], []
     for start in range(0, n, query_block):
         q = x[start : start + query_block]
-        negd, idx = _knn_query_block(q, x_padded, sq_norms, k, key_block, n)
+        negd, idx = _knn_query_block(q, x_padded, sq_norms, k, key_block, n,
+                                     method=method)
         all_d.append(negd)
         all_i.append(idx)
     neg_d = jnp.concatenate(all_d, axis=0)

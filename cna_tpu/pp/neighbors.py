@@ -117,7 +117,8 @@ def fuzzy_connectivities(indices, dists):
     return result.tocsr()
 
 
-def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None):
+def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None,
+              method="exact"):
     """Build the cell-cell graph: kNN + fuzzy connectivities.
 
     Drop-in for the role ``sc.pp.neighbors`` plays upstream of the
@@ -140,7 +141,7 @@ def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None):
     if n_pcs is not None:
         rep = rep[:, :n_pcs]
 
-    indices, dists = knn_search(np.asarray(rep), n_neighbors)
+    indices, dists = knn_search(np.asarray(rep), n_neighbors, method=method)
 
     n = data.n_obs
     rows = np.repeat(np.arange(n), n_neighbors - 1)
@@ -155,6 +156,7 @@ def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None):
         "connectivities_key": "connectivities",
         "distances_key": "distances",
         "params": {"n_neighbors": n_neighbors, "method": "umap",
+                   "knn_method": method,
                    "metric": "euclidean"},
     }
     return conn

@@ -59,20 +59,63 @@ def get_connectivity(data):
     )
 
 
+_FORMAT_KEY = "_cna_tpu_graph_format"
+
+
+def set_graph_format(data, fmt: str) -> None:
+    """Choose the device SpMM format for ``data``: 'ell' (exact row
+    gather; the default) or 'block' (cluster-reordered dense-tile MXU
+    path for atlas-scale throughput)."""
+    if fmt not in ("ell", "block"):
+        raise ValueError(f"unknown graph format {fmt!r}; use 'ell' or 'block'")
+    data.uns[_FORMAT_KEY] = fmt
+    data.uns.pop(_ELL_CACHE_KEY, None)
+
+
 def get_ell_graph(data) -> EllGraph:
     """Device ELL graph for ``data``, cached in ``data.uns`` when possible."""
+    graph, _ = get_device_graph(data, fmt="ell")
+    return graph
+
+
+def get_device_graph(data, fmt=None):
+    """Device graph for ``data`` in the configured format.
+
+    Returns (graph, reordering): for the 'ell' format the reordering is
+    None; for 'block' it is the cluster ``Reordering`` whose permuted
+    axes the BlockGraph is built on (callers permute the diffusion state
+    in and out once per pipeline).
+    """
     conn = get_connectivity(data)
     if isinstance(conn, EllGraph):
-        return conn
+        return conn, None
     uns = getattr(data, "uns", None)
+    if fmt is None:
+        fmt = uns.get(_FORMAT_KEY, "ell") if uns is not None else "ell"
+    cache_key = f"{_ELL_CACHE_KEY}:{fmt}"
     if uns is not None:
-        cached = uns.get(_ELL_CACHE_KEY)
+        cached = uns.get(cache_key)
         if cached is not None and cached[0] is conn:
-            return cached[1]
-    ell = from_scipy(conn)
+            return cached[1], cached[2]
+
+    if fmt == "block":
+        from ..graph.blocks import cluster_ordering, from_scipy_blocks
+        from ..graph.reorder import permute_graph
+
+        obsm = getattr(data, "obsm", {})
+        if "X_pca" in obsm:
+            ordering = cluster_ordering(obsm["X_pca"])
+        else:
+            from ..graph.reorder import rcm_ordering
+
+            ordering = rcm_ordering(conn)
+        graph = from_scipy_blocks(permute_graph(conn, ordering))
+    else:
+        ordering = None
+        graph = from_scipy(conn)
     if uns is not None:
-        uns[_ELL_CACHE_KEY] = (conn, ell)
-    return ell
+        uns[cache_key] = (conn, graph, ordering)
+    return graph, ordering
 
 
 def _auto_block_rows(n, k, s):
@@ -90,9 +133,11 @@ def _diffusion_step(s, graph, colsums, self_weight, block_rows=None):
                                block_rows=block_rows)
 
 
-@partial(jax.jit, static_argnames=("maxnsteps", "nsteps", "block_rows"))
+@partial(jax.jit, static_argnames=("maxnsteps", "nsteps", "block_rows",
+                                   "n_true"))
 def _diffuse_adaptive(s0, graph, colsums, c_counts, self_weight,
-                      maxnsteps=15, nsteps=None, block_rows=None):
+                      maxnsteps=15, nsteps=None, block_rows=None,
+                      n_true=None):
     """Full diffusion loop fused into one on-device while_loop.
 
     Replicates reference ``_nam``'s stepping (``_nam.py:56-71``): after
@@ -101,18 +146,25 @@ def _diffuse_adaptive(s0, graph, colsums, c_counts, self_weight,
     step-to-step R²; stop when the kurtosis drop is < 3 after >= 3 steps
     (or after exactly ``nsteps``), capped at ``maxnsteps``.
 
+    ``n_true``: number of real cells when ``s0`` carries zero padding
+    rows (block-dense format); statistics then exclude the padding so the
+    stopping rule is invariant to the storage format.
+
     Returns (s_final, steps_taken, medkurt trail, R² trail) — the trails
     are NaN-padded (maxnsteps,) buffers for post-hoc diagnostics printing.
     """
     dtype = s0.dtype
     nan = jnp.asarray(jnp.nan, dtype)
+    n_cells = s0.shape[0] if n_true is None else n_true
 
     def step_stats(s, old_s):
         s_new = spmm.diffusion_step(s, graph, colsums, self_weight,
                                     block_rows=block_rows)
         snormed = s_new / c_counts[None, :]
-        medkurt = jnp.median(moments.kurtosis(snormed, axis=1))
-        r2p20 = jnp.percentile(moments.column_r2(s_new, old_s), 20)
+        kurt = moments.kurtosis(snormed, axis=1)[:n_cells]
+        medkurt = jnp.median(kurt)
+        r2 = moments.column_r2_counted(s_new, old_s, n_cells)
+        r2p20 = jnp.percentile(r2, 20)
         return s_new, medkurt, r2p20
 
     def cond(carry):
@@ -213,19 +265,35 @@ def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
         onehot = onehot[sids]
     samples = onehot.columns
     cells = data.obs.index
+    n_cells = len(cells)
     c_counts_host = onehot.sum(axis=0).to_numpy()
 
-    graph = get_ell_graph(data)
-    dtype = graph.weights.dtype
-    s0 = jnp.asarray(onehot.to_numpy(), dtype=dtype)
+    graph, ordering = get_device_graph(data)
+    is_block = ordering is not None or not isinstance(graph, EllGraph)
+    dtype = (graph.weights.dtype if isinstance(graph, EllGraph)
+             else graph.tiles.dtype)
+    s0_host = onehot.to_numpy().astype(dtype)
+    if is_block:
+        if ordering is not None:
+            s0_host = s0_host[ordering.perm]
+        n_pad = graph.colsums_raw.shape[0]
+        if n_pad > s0_host.shape[0]:
+            s0_host = np.pad(s0_host, ((0, n_pad - s0_host.shape[0]), (0, 0)))
+        block_rows = None
+        n_true = n_cells
+    else:
+        block_rows = _auto_block_rows(graph.n_cells, graph.max_degree,
+                                      s0_host.shape[1])
+        n_true = None
+    s0 = jnp.asarray(s0_host)
     c_counts = jnp.asarray(c_counts_host, dtype=dtype)
     colsums = graph.colsums(self_weight)
     sw = jnp.asarray(self_weight, dtype=dtype)
-    block_rows = _auto_block_rows(graph.n_cells, graph.max_degree, s0.shape[1])
 
     s, steps_dev, mk_buf, r2_buf = _diffuse_adaptive(
         s0, graph, colsums, c_counts, sw,
-        maxnsteps=maxnsteps, nsteps=nsteps, block_rows=block_rows)
+        maxnsteps=maxnsteps, nsteps=nsteps, block_rows=block_rows,
+        n_true=n_true)
 
     steps_taken = int(steps_dev)
     if out.enabled:
@@ -238,6 +306,12 @@ def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
         if nsteps is None and steps_taken < maxnsteps:
             out("stopping after", steps_taken, "steps")
 
+    if is_block:
+        # back to the caller's cell order (and drop padding rows)
+        if ordering is not None:
+            s = jnp.take(s, jnp.asarray(ordering.inv), axis=0)
+        else:
+            s = s[:n_cells]
     nam = (s / c_counts[None, :]).T  # (samples, cells)
     return NamArrays(nam=nam, samples=samples, cells=cells, nsteps=steps_taken)
 

@@ -1,0 +1,74 @@
+"""NAM savepoints: optional checkpoint/resume (SURVEY §5.4).
+
+The reference deliberately recomputes the NAM on every ``association``
+call (its v0.2.0 release REMOVED caching — reference README.md:22), so
+caching is **off by default** to match that semantics.  For 10k-
+permutation reruns on atlas-scale data, recomputing diffusion is pure
+waste, so an explicit savepoint API is provided: the NAM (and its QC
+mask) is stored keyed on a fingerprint of (graph structure+weights,
+sample assignment, nsteps, self_weight) — a changed input silently
+misses rather than serving a stale matrix.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+
+
+def _graph_fingerprint(conn, sid_codes, nsteps, self_weight) -> str:
+    import scipy.sparse as sp
+
+    h = hashlib.sha256()
+    if sp.issparse(conn):
+        csr = conn.tocsr()
+        h.update(np.ascontiguousarray(csr.indptr))
+        h.update(np.ascontiguousarray(csr.indices))
+        h.update(np.ascontiguousarray(csr.data))
+    else:
+        h.update(np.ascontiguousarray(np.asarray(conn)))
+    h.update(np.ascontiguousarray(sid_codes))
+    h.update(repr((nsteps, self_weight)).encode())
+    return h.hexdigest()[:32]
+
+
+def nam_fingerprint(data, sid_name, nsteps=None, self_weight=1) -> str:
+    """Content fingerprint of everything the NAM depends on."""
+    from ..tools._nam import get_connectivity
+
+    conn = get_connectivity(data)
+    codes = data.obs[sid_name].astype("category").cat.codes.to_numpy()
+    return _graph_fingerprint(conn, codes, nsteps, self_weight)
+
+
+def save_nam(path, nam_df, keep, fingerprint: str) -> None:
+    """Persist a QC'd NAM DataFrame + keep mask under its fingerprint."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    np.savez_compressed(
+        path,
+        fingerprint=np.asarray(fingerprint),
+        nam=nam_df.to_numpy(),
+        samples=np.asarray(nam_df.index, dtype=str),
+        cells=np.asarray(nam_df.columns, dtype=str),
+        keep=np.asarray(keep),
+    )
+
+
+def load_nam(path, fingerprint: str):
+    """Load a savepoint if it exists AND matches the fingerprint.
+
+    Returns (NAM DataFrame, keep) or None on miss/mismatch.
+    """
+    import pandas as pd
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        if str(z["fingerprint"]) != fingerprint:
+            return None
+        nam = pd.DataFrame(z["nam"], index=pd.Index(z["samples"]),
+                           columns=pd.Index(z["cells"]))
+        keep = z["keep"]
+    return nam, keep
