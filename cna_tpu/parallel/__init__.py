@@ -1,6 +1,7 @@
 """Multi-device / multi-host scaling: mesh construction and sharded stages."""
 from . import mesh
 from .mesh import make_mesh, CELLS, PERMS
+from . import halo
 from . import sharded
 
-__all__ = ["mesh", "make_mesh", "sharded", "CELLS", "PERMS"]
+__all__ = ["mesh", "make_mesh", "sharded", "halo", "CELLS", "PERMS"]

@@ -2,5 +2,6 @@
 from .pca import pca, pca_array
 from .knn import knn_search
 from .neighbors import neighbors, fuzzy_connectivities
+from .umap import umap
 
-__all__ = ["pca", "pca_array", "knn_search", "neighbors", "fuzzy_connectivities"]
+__all__ = ["pca", "pca_array", "knn_search", "neighbors", "fuzzy_connectivities", "umap"]

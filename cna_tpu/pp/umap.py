@@ -1,0 +1,150 @@
+"""UMAP 2-D embedding layout, on device.
+
+The reference leans on ``sc.tl.umap`` for the embedding its plotting
+layer draws (reference ``plotting/_umap.py`` via ``sc.pl.umap``; built in
+demo.ipynb cell 29).  This is a from-scratch JAX implementation of the
+published UMAP layout algorithm (McInnes et al.): spectral initialization
+from the fuzzy graph, then SGD on the cross-entropy surrogate with
+per-edge sampling schedules and uniform negative sampling — vectorized
+over all edges per epoch inside one ``lax.fori_loop`` program instead of
+umap-learn's sequential Numba loop.
+
+Differences from umap-learn (documented, intentional):
+* edges are processed batch-synchronously per epoch (displacements
+  scatter-added), not in sequential order — standard for accelerator
+  ports of UMAP;
+* the RNG is JAX's counter-based PRNG, so layouts match umap-learn in
+  quality, not bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _fit_ab(spread=1.0, min_dist=0.1):
+    """Least-squares fit of the rational attraction curve 1/(1+a d^2b)
+    to the desired fuzzy kernel (umap's find_ab_params)."""
+    from scipy.optimize import curve_fit
+
+    def curve(x, a, b):
+        return 1.0 / (1.0 + a * x ** (2 * b))
+
+    xv = np.linspace(0, spread * 3, 300)
+    yv = np.ones_like(xv)
+    mask = xv >= min_dist
+    yv[mask] = np.exp(-(xv[mask] - min_dist) / spread)
+    params, _ = curve_fit(curve, xv, yv)
+    return float(params[0]), float(params[1])
+
+
+def spectral_init(conn, n_components=2, seed=0):
+    """Spectral layout: leading eigenvectors of the normalized graph
+    Laplacian (host-side sparse eigensolver; small and done once)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    n = conn.shape[0]
+    deg = np.asarray(conn.sum(axis=1)).ravel()
+    deg[deg == 0] = 1
+    d_inv_sqrt = sp.diags(1.0 / np.sqrt(deg))
+    lap = sp.identity(n) - d_inv_sqrt @ conn @ d_inv_sqrt
+    k = n_components + 1
+    try:
+        _, vecs = spl.eigsh(lap, k=k, which="SM", tol=1e-4, maxiter=n * 5)
+        emb = vecs[:, 1:k]
+    except Exception:
+        rng = np.random.RandomState(seed)
+        emb = rng.uniform(-10, 10, (n, n_components))
+    expansion = 10.0 / np.abs(emb).max()
+    return (emb * expansion).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("n_epochs", "negative_sample_rate"))
+def _optimize_layout(pos0, heads, tails, epochs_per_sample, key, a, b,
+                     n_epochs, initial_alpha=1.0, negative_sample_rate=5):
+    """SGD over the UMAP objective, all edges vectorized per epoch."""
+    n = pos0.shape[0]
+    e = heads.shape[0]
+    eps = 1e-3
+    clip = lambda x: jnp.clip(x, -4.0, 4.0)
+
+    def epoch_body(i, state):
+        pos, eons, key = state
+        alpha = initial_alpha * (1.0 - i / n_epochs)
+        active = eons <= i  # (E,) edges due this epoch
+
+        ph = pos[heads]  # (E, 2)
+        pt = pos[tails]
+        diff = ph - pt
+        d2 = jnp.sum(diff * diff, axis=1)
+        # attractive gradient coefficient
+        grad_coeff = (-2.0 * a * b * d2 ** (b - 1.0)
+                      / (a * d2 ** b + 1.0))
+        grad_coeff = jnp.where(d2 > 0, grad_coeff, 0.0)
+        move = clip(grad_coeff[:, None] * diff) * alpha
+        move = jnp.where(active[:, None], move, 0.0)
+        pos = pos.at[heads].add(move)
+        pos = pos.at[tails].add(-move)
+
+        # negative sampling: repel heads from random points
+        key, sub = jax.random.split(key)
+        negs = jax.random.randint(
+            sub, (e, negative_sample_rate), 0, n)
+        ph = pos[heads]
+        pn = pos[negs]  # (E, R, 2)
+        diffn = ph[:, None, :] - pn
+        d2n = jnp.sum(diffn * diffn, axis=2)
+        rep_coeff = (2.0 * b) / ((eps + d2n) * (a * d2n ** b + 1.0))
+        moven = clip(rep_coeff[:, :, None] * diffn).sum(axis=1) * alpha
+        moven = jnp.where(active[:, None], moven, 0.0)
+        pos = pos.at[heads].add(moven)
+
+        eons = jnp.where(active, eons + epochs_per_sample, eons)
+        return (pos, eons, key)
+
+    state = (pos0, epochs_per_sample.astype(pos0.dtype), key)
+    pos, _, _ = jax.lax.fori_loop(0, n_epochs, epoch_body, state)
+    return pos
+
+
+def umap(data, n_components=2, n_epochs=None, min_dist=0.1, spread=1.0,
+         negative_sample_rate=5, seed=0, key_added="X_umap"):
+    """Compute a UMAP embedding of the cells into ``data.obsm[key_added]``.
+
+    Requires ``data.obsp['connectivities']`` (run ``pp.neighbors`` first).
+    """
+    conn = data.obsp.get("connectivities")
+    if conn is None:
+        raise KeyError("run cna_tpu.pp.neighbors before pp.umap")
+    import scipy.sparse as sp
+
+    coo = sp.coo_matrix(sp.triu(conn, k=1) + sp.triu(conn.T, k=1))
+    # symmetric graph: keep each undirected edge once (upper triangle)
+    coo.sum_duplicates()
+    w = coo.data.astype(np.float32)
+    n = conn.shape[0]
+    if n_epochs is None:
+        n_epochs = 500 if n <= 10_000 else 200
+
+    # umap's per-edge sampling schedule: stronger edges update more often
+    w = np.where(w < w.max() / float(n_epochs), 0.0, w)
+    keep = w > 0
+    heads = coo.row[keep].astype(np.int32)
+    tails = coo.col[keep].astype(np.int32)
+    eps_edge = w.max() / w[keep]
+
+    a, b = _fit_ab(spread=spread, min_dist=min_dist)
+    pos0 = spectral_init(conn, n_components=n_components, seed=seed)
+
+    pos = _optimize_layout(
+        jnp.asarray(pos0), jnp.asarray(heads), jnp.asarray(tails),
+        jnp.asarray(eps_edge), jax.random.key(seed),
+        a, b, n_epochs=int(n_epochs),
+        negative_sample_rate=negative_sample_rate)
+    data.obsm[key_added] = np.asarray(pos)
+    return data.obsm[key_added]
