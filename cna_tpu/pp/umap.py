@@ -55,7 +55,9 @@ def spectral_init(conn, n_components=2, seed=0):
     lap = sp.identity(n) - d_inv_sqrt @ conn @ d_inv_sqrt
     k = n_components + 1
     try:
-        _, vecs = spl.eigsh(lap, k=k, which="SM", tol=1e-4, maxiter=n * 5)
+        v0 = np.random.RandomState(seed).uniform(-1, 1, n)  # deterministic start
+        _, vecs = spl.eigsh(lap, k=k, which="SM", tol=1e-4, maxiter=n * 5,
+                            v0=v0)
         emb = vecs[:, 1:k]
     except Exception:
         rng = np.random.RandomState(seed)

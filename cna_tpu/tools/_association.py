@@ -75,7 +75,7 @@ def _assoc_null(u, m_proj, namresid, y_, ks, r, n_local, local_test):
 
 def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
                  Nnull=1000, force_permute_all=False, local_test=True,
-                 seed=None, show_progress=False, null_y=None):
+                 seed=None, show_progress=False, null_y=None, mesh=None):
     """Core association test given a residualized NAM decomposition.
 
     Mirrors reference ``_association`` (``_association.py:10-129``).
@@ -129,6 +129,12 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
             y_ = permutations.grouplevel_permutation(key, donorids, ystd, Nnull)
         else:
             y_ = permutations.conditional_permutation(key, batches, ystd, Nnull)
+
+    if mesh is not None:
+        from ..parallel import mesh as meshlib
+
+        y_ = jax.device_put(y_, meshlib.perm_cols(mesh))
+        namresid = jax.device_put(namresid, meshlib.cell_cols(mesh))
 
     n_local = min(1000, Nnull)
     nullminps_dev, nullr2s_dev, nullncorrs = _assoc_null(
@@ -273,7 +279,7 @@ def compute_nam_and_reindex(data, y, sid_name, batches, covs, donorids,
 
 def _compute_nam_arrays_and_reindex(data, y, sid_name, batches, covs,
                                     donorids, filter_samples, nsteps,
-                                    show_progress, **kwargs):
+                                    show_progress, mesh=None, **kwargs):
     """Device-resident variant of ``compute_nam_and_reindex``.
 
     Same semantics (row reindex to y's order, sample filter, zero-variance
@@ -281,7 +287,7 @@ def _compute_nam_arrays_and_reindex(data, y, sid_name, batches, covs,
     only the small per-column variance mask syncs to host.
     """
     arrays, kept = nam_arrays(data, sid_name, batches=batches, nsteps=nsteps,
-                              show_progress=show_progress, **kwargs)
+                              show_progress=show_progress, mesh=mesh, **kwargs)
 
     valid_samples = y.index[filter_samples]
     row_idx = arrays.samples.get_indexer(valid_samples)
@@ -311,7 +317,7 @@ def _compute_nam_arrays_and_reindex(data, y, sid_name, batches, covs,
 def association(data, y, sid_name, batches=None, covs=None, donorids=None,
                 ks=None, key_added="coef", max_frac_pcs=0.15, nsteps=None,
                 show_progress=False, allow_low_sample_size=False,
-                return_full=False, ridges=None, **kwargs):
+                return_full=False, ridges=None, mesh=None, **kwargs):
     """Main entry point: test association of a sample-level phenotype with
     neighborhood abundance (reference ``association``, ``_association.py:
     193-242``).
@@ -328,7 +334,7 @@ def association(data, y, sid_name, batches=None, covs=None, donorids=None,
     NAM, kept, batches, covs, donorids, filter_samples = (
         _compute_nam_arrays_and_reindex(
             data, y, sid_name, batches, covs, donorids, filter_samples,
-            nsteps, show_progress, **kwargs))
+            nsteps, show_progress, mesh=mesh, **kwargs))
 
     n_valid = filter_samples.sum()
     npcs = min(
@@ -348,7 +354,7 @@ def association(data, y, sid_name, batches=None, covs=None, donorids=None,
         dev.namresid, dev.m, dev.r,
         y[filter_samples].values, batches[filter_samples].values,
         donorids[filter_samples].values if donorids is not None else None,
-        show_progress=show_progress, ks=ks, **kwargs)
+        show_progress=show_progress, ks=ks, mesh=mesh, **kwargs)
     res.update(res_)
     res.set_lazy("nam", NAM.to_df)
     res.kept = kept

@@ -248,7 +248,7 @@ class NamArrays:
 
 
 def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
-         show_progress=False) -> NamArrays:
+         show_progress=False, mesh=None) -> NamArrays:
     """Build the NAM via diffusion with the adaptive kurtosis stop.
 
     Mirrors reference ``_nam`` (``_nam.py:44-76``): one-hot cells->samples,
@@ -289,6 +289,23 @@ def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
     c_counts = jnp.asarray(c_counts_host, dtype=dtype)
     colsums = graph.colsums(self_weight)
     sw = jnp.asarray(self_weight, dtype=dtype)
+    if mesh is not None:
+        from ..parallel import mesh as meshlib
+
+        rows = meshlib.cell_rows(mesh)
+        repl = meshlib.replicated(mesh)
+        s0 = jax.device_put(s0, rows)
+        colsums = jax.device_put(colsums, rows)
+        c_counts = jax.device_put(c_counts, repl)
+        if isinstance(graph, EllGraph):
+            graph = EllGraph(
+                indices=jax.device_put(graph.indices, rows),
+                weights=jax.device_put(graph.weights, rows),
+                overflow_rows=jax.device_put(graph.overflow_rows, repl),
+                overflow_cols=jax.device_put(graph.overflow_cols, repl),
+                overflow_weights=jax.device_put(graph.overflow_weights, repl),
+                colsums_raw=jax.device_put(graph.colsums_raw, rows),
+            )
 
     s, steps_dev, mk_buf, r2_buf = _diffuse_adaptive(
         s0, graph, colsums, c_counts, sw,
@@ -541,7 +558,7 @@ def nam(data, sid_name, batches=None, nsteps=None, self_weight=1,
 
 
 def nam_arrays(data, sid_name, batches=None, nsteps=None, self_weight=1,
-               show_progress=False, **kwargs):
+               show_progress=False, mesh=None, **kwargs):
     """Device-resident variant of ``nam``: returns (NamArrays, keep)."""
     out = select_output(show_progress)
 
@@ -551,5 +568,5 @@ def nam_arrays(data, sid_name, batches=None, nsteps=None, self_weight=1,
 
     out("computing NAM")
     arrays = _nam(data, sid_name, nsteps=nsteps, self_weight=self_weight,
-                  show_progress=show_progress)
+                  show_progress=show_progress, mesh=mesh)
     return _qc_nam_arrays(arrays, batches, show_progress=show_progress)
