@@ -71,3 +71,22 @@ def precision(x64: bool):
         yield current_precision()
     finally:
         enable_x64(old)
+
+
+def enable_debug_nans(enable: bool = True) -> None:
+    """NaN tripwire for every compiled program (SURVEY §5.2: the
+    JAX-native analog of a sanitizer run; use in CI / debugging, not
+    production — it forces a check after each dispatch)."""
+    jax.config.update("jax_debug_nans", enable)
+
+
+def enable_compilation_cache(cache_dir: str = ".jax_cache",
+                             min_compile_seconds: float = 0.5) -> None:
+    """Persist compiled executables across processes.  First compiles on
+    a tunneled TPU cost tens of seconds; the cache makes reruns warm."""
+    import os
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_seconds)
