@@ -27,6 +27,7 @@ from ..ops import fdr as fdr_ops
 from ..ops import ftest, moments, permutations
 from ._nam import NamArrays, _resid_nam, nam, nam_arrays
 from ._out import select_output
+from ..utils.profiling import global_profiler
 
 
 @partial(jax.jit, static_argnames=("r",))
@@ -328,33 +329,37 @@ def association(data, y, sid_name, batches=None, covs=None, donorids=None,
     """
     out = select_output(show_progress)
 
+    prof = global_profiler()
     batches, filter_samples = check_inputs(
         data, y, sid_name, batches, covs, donorids, allow_low_sample_size)
 
-    NAM, kept, batches, covs, donorids, filter_samples = (
-        _compute_nam_arrays_and_reindex(
-            data, y, sid_name, batches, covs, donorids, filter_samples,
-            nsteps, show_progress, mesh=mesh, **kwargs))
+    with prof.phase("nam", cells=data.n_obs):
+        NAM, kept, batches, covs, donorids, filter_samples = (
+            _compute_nam_arrays_and_reindex(
+                data, y, sid_name, batches, covs, donorids, filter_samples,
+                nsteps, show_progress, mesh=mesh, **kwargs))
 
     n_valid = filter_samples.sum()
     npcs = min(
         n_valid,
         max([10, int(max_frac_pcs * n_valid)] + (list(ks) if ks is not None else [])),
     )
-    res = _resid_nam(
-        NAM,
-        covs[filter_samples] if covs is not None else covs,
-        batches[filter_samples] if batches is not None else batches,
-        npcs=npcs, ridges=ridges, show_progress=show_progress)
+    with prof.phase("residualize"):
+        res = _resid_nam(
+            NAM,
+            covs[filter_samples] if covs is not None else covs,
+            batches[filter_samples] if batches is not None else batches,
+            npcs=npcs, ridges=ridges, show_progress=show_progress)
 
     out("performing association test")
     dev = res._dev
-    res_ = _association(
-        (dev.u, dev.svs, dev.v),
-        dev.namresid, dev.m, dev.r,
-        y[filter_samples].values, batches[filter_samples].values,
-        donorids[filter_samples].values if donorids is not None else None,
-        show_progress=show_progress, ks=ks, mesh=mesh, **kwargs)
+    with prof.phase("test", permutations=kwargs.get("Nnull", 1000)):
+        res_ = _association(
+            (dev.u, dev.svs, dev.v),
+            dev.namresid, dev.m, dev.r,
+            y[filter_samples].values, batches[filter_samples].values,
+            donorids[filter_samples].values if donorids is not None else None,
+            show_progress=show_progress, ks=ks, mesh=mesh, **kwargs)
     res.update(res_)
     res.set_lazy("nam", NAM.to_df)
     res.kept = kept
@@ -366,11 +371,19 @@ def association(data, y, sid_name, batches=None, covs=None, donorids=None,
     data.obs.loc[kept, key_added] = res.ncorrs
 
     if res.fdrs is not None:  # local_test=False produces no FDR curve
-        def min_fdr_for_corr(ncorr):
-            matching_fdrs = res.fdrs.loc[res.fdrs.threshold <= abs(ncorr)].fdr
-            return matching_fdrs.min() if not matching_fdrs.empty else 1
-
-        data.obs[f"{key_added}_fdr"] = data.obs[key_added].apply(min_fdr_for_corr)
+        # vectorized equivalent of the reference's per-cell apply
+        # (``_association.py:233-237``): each cell gets the minimum FDR
+        # among thresholds <= |coef|, else 1 (incl. non-kept NaN cells)
+        thresholds = res.fdrs.threshold.to_numpy()
+        prefix_min_fdr = np.minimum.accumulate(res.fdrs.fdr.to_numpy())
+        coefs = data.obs[key_added].to_numpy(dtype=float)
+        abs_coefs = np.abs(coefs)
+        pos = np.searchsorted(thresholds, np.nan_to_num(abs_coefs, nan=-1.0),
+                              side="right")
+        fdr_col = np.where(pos > 0,
+                           prefix_min_fdr[np.maximum(pos - 1, 0)], 1.0)
+        fdr_col = np.where(np.isnan(coefs), 1.0, fdr_col)
+        data.obs[f"{key_added}_fdr"] = fdr_col
 
     if return_full:
         return res
