@@ -28,7 +28,7 @@ class CellData:
     """
 
     def __init__(self, X=None, obs=None, var=None, obsm=None, obsp=None,
-                 uns=None):
+                 uns=None, samplem=None, sid_name="id"):
         if X is not None:
             X = np.asarray(X)
         self.X = X
@@ -46,6 +46,10 @@ class CellData:
         self.obsm = dict(obsm) if obsm else {}
         self.obsp = dict(obsp) if obsp else {}
         self.uns = dict(uns) if uns else {}
+        # optional sample-level metadata (multianndata-style convenience:
+        # one row per sample, indexed by the ids in obs[sid_name])
+        self.samplem = samplem
+        self.sid_name = sid_name
         self._validate()
 
     def _validate(self):

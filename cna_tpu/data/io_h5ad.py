@@ -102,6 +102,8 @@ def read_h5ad(path) -> CellData:
     d.obsm = obsm
     d.obsp = obsp
     d.uns = uns if isinstance(uns, dict) else {}
+    d.samplem = d.uns.pop("_samplem", None)
+    d.sid_name = d.uns.pop("_sid_name", "id")
     return d
 
 
@@ -213,3 +215,9 @@ def write_h5ad(data: CellData, path) -> None:
             if str(k).startswith("_cna_tpu"):
                 continue
             _write_uns(uns, str(k), v)
+        samplem = getattr(data, "samplem", None)
+        if samplem is not None:
+            _write_dataframe(uns, "_samplem", samplem)
+            sid = uns.create_dataset("_sid_name",
+                                     data=getattr(data, "sid_name", "id"))
+            _write_scalar_attrs(sid, "string")

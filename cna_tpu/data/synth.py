@@ -77,4 +77,5 @@ def synthetic_dataset(n_samples=50, cells_per_sample=200, n_genes=50,
         np.arange(n_batches), -(-n_samples // n_batches))[:n_samples]
     obs = obs.join(samplem, on="id")
 
-    return CellData(X=x, obs=obs, var=var), samplem
+    d = CellData(X=x, obs=obs, var=var, samplem=samplem, sid_name="id")
+    return d, samplem

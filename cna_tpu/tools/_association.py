@@ -280,7 +280,8 @@ def compute_nam_and_reindex(data, y, sid_name, batches, covs, donorids,
 
 def _compute_nam_arrays_and_reindex(data, y, sid_name, batches, covs,
                                     donorids, filter_samples, nsteps,
-                                    show_progress, mesh=None, **kwargs):
+                                    show_progress, mesh=None,
+                                    nam_savepoint=None, **kwargs):
     """Device-resident variant of ``compute_nam_and_reindex``.
 
     Same semantics (row reindex to y's order, sample filter, zero-variance
@@ -288,7 +289,8 @@ def _compute_nam_arrays_and_reindex(data, y, sid_name, batches, covs,
     only the small per-column variance mask syncs to host.
     """
     arrays, kept = nam_arrays(data, sid_name, batches=batches, nsteps=nsteps,
-                              show_progress=show_progress, mesh=mesh, **kwargs)
+                              show_progress=show_progress, mesh=mesh,
+                              nam_savepoint=nam_savepoint, **kwargs)
 
     valid_samples = y.index[filter_samples]
     row_idx = arrays.samples.get_indexer(valid_samples)
@@ -318,7 +320,8 @@ def _compute_nam_arrays_and_reindex(data, y, sid_name, batches, covs,
 def association(data, y, sid_name, batches=None, covs=None, donorids=None,
                 ks=None, key_added="coef", max_frac_pcs=0.15, nsteps=None,
                 show_progress=False, allow_low_sample_size=False,
-                return_full=False, ridges=None, mesh=None, **kwargs):
+                return_full=False, ridges=None, mesh=None,
+                nam_savepoint=None, **kwargs):
     """Main entry point: test association of a sample-level phenotype with
     neighborhood abundance (reference ``association``, ``_association.py:
     193-242``).
@@ -337,7 +340,8 @@ def association(data, y, sid_name, batches=None, covs=None, donorids=None,
         NAM, kept, batches, covs, donorids, filter_samples = (
             _compute_nam_arrays_and_reindex(
                 data, y, sid_name, batches, covs, donorids, filter_samples,
-                nsteps, show_progress, mesh=mesh, **kwargs))
+                nsteps, show_progress, mesh=mesh,
+                nam_savepoint=nam_savepoint, **kwargs))
 
     n_valid = filter_samples.sum()
     npcs = min(

@@ -558,15 +558,44 @@ def nam(data, sid_name, batches=None, nsteps=None, self_weight=1,
 
 
 def nam_arrays(data, sid_name, batches=None, nsteps=None, self_weight=1,
-               show_progress=False, mesh=None, **kwargs):
-    """Device-resident variant of ``nam``: returns (NamArrays, keep)."""
+               show_progress=False, mesh=None, nam_savepoint=None, **kwargs):
+    """Device-resident variant of ``nam``: returns (NamArrays, keep).
+
+    ``nam_savepoint``: optional path to a fingerprint-keyed diffusion
+    savepoint (see ``utils.checkpoint``).  The reference deliberately
+    never caches the NAM (its README.md:22, v0.2.0), so this is opt-in;
+    a changed graph/sample-assignment/step-count misses rather than
+    serving a stale matrix.
+    """
     out = select_output(show_progress)
 
     if batches is None:
         sids = data.obs[sid_name].unique()
         batches = pd.Series(np.ones(len(sids)), index=sids)
 
-    out("computing NAM")
-    arrays = _nam(data, sid_name, nsteps=nsteps, self_weight=self_weight,
-                  show_progress=show_progress, mesh=mesh)
+    arrays = None
+    fingerprint = None
+    if nam_savepoint is not None:
+        from ..utils import checkpoint as ckpt
+
+        fingerprint = ckpt.nam_fingerprint(data, sid_name, nsteps=nsteps,
+                                           self_weight=self_weight)
+        hit = ckpt.load_nam(nam_savepoint, fingerprint)
+        if hit is not None:
+            out("loading NAM from savepoint")
+            nam_df, _, saved_nsteps = hit
+            arrays = NamArrays(nam=jnp.asarray(nam_df.to_numpy()),
+                               samples=pd.Index(nam_df.index),
+                               cells=pd.Index(nam_df.columns),
+                               nsteps=saved_nsteps)
+
+    if arrays is None:
+        out("computing NAM")
+        arrays = _nam(data, sid_name, nsteps=nsteps, self_weight=self_weight,
+                      show_progress=show_progress, mesh=mesh)
+        if nam_savepoint is not None:
+            from ..utils import checkpoint as ckpt
+
+            ckpt.save_nam(nam_savepoint, arrays.to_df(), fingerprint,
+                          nsteps=arrays.nsteps)
     return _qc_nam_arrays(arrays, batches, show_progress=show_progress)

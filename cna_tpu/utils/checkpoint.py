@@ -43,23 +43,36 @@ def nam_fingerprint(data, sid_name, nsteps=None, self_weight=1) -> str:
     return _graph_fingerprint(conn, codes, nsteps, self_weight)
 
 
-def save_nam(path, nam_df, keep, fingerprint: str) -> None:
-    """Persist a QC'd NAM DataFrame + keep mask under its fingerprint."""
+def _index_array(index):
+    """Index -> a pickle-free numpy array (numeric kept; else unicode)."""
+    arr = np.asarray(index)
+    if arr.dtype == object:
+        arr = arr.astype(str)
+    return arr
+
+
+def save_nam(path, nam_df, fingerprint: str, keep=None, nsteps=0) -> None:
+    """Persist a (pre-QC) NAM DataFrame under its fingerprint.
+
+    Only the diffusion output is stored — the batch-kurtosis QC depends
+    on the batches argument and is cheap, so it is recomputed on load.
+    """
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     np.savez_compressed(
         path,
         fingerprint=np.asarray(fingerprint),
         nam=nam_df.to_numpy(),
-        samples=np.asarray(nam_df.index, dtype=str),
-        cells=np.asarray(nam_df.columns, dtype=str),
-        keep=np.asarray(keep),
+        samples=_index_array(nam_df.index),
+        cells=_index_array(nam_df.columns),
+        keep=np.asarray(keep if keep is not None else []),
+        nsteps=np.asarray(nsteps),
     )
 
 
 def load_nam(path, fingerprint: str):
     """Load a savepoint if it exists AND matches the fingerprint.
 
-    Returns (NAM DataFrame, keep) or None on miss/mismatch.
+    Returns (NAM DataFrame, keep-or-None, nsteps) or None on miss/mismatch.
     """
     import pandas as pd
 
@@ -70,5 +83,6 @@ def load_nam(path, fingerprint: str):
             return None
         nam = pd.DataFrame(z["nam"], index=pd.Index(z["samples"]),
                            columns=pd.Index(z["cells"]))
-        keep = z["keep"]
-    return nam, keep
+        keep = z["keep"] if z["keep"].size else None
+        nsteps = int(z["nsteps"])
+    return nam, keep, nsteps

@@ -62,19 +62,32 @@ def test_nam_savepoint_roundtrip(tmp_path, demo):
     nam_df, keep = cna_tpu.tl.nam(d, "id")
     fp = checkpoint.nam_fingerprint(d, "id")
     path = tmp_path / "nam.npz"
-    checkpoint.save_nam(path, nam_df, keep, fp)
+    checkpoint.save_nam(path, nam_df, fp, nsteps=4)
 
     loaded = checkpoint.load_nam(path, fp)
     assert loaded is not None
-    nam2, keep2 = loaded
+    nam2, _, nsteps = loaded
     np.testing.assert_allclose(nam2.to_numpy(), nam_df.to_numpy())
-    assert np.array_equal(keep2, keep)
+    assert list(nam2.index) == list(nam_df.index)
+    assert nsteps == 4
 
     # fingerprint mismatch -> miss
     assert checkpoint.load_nam(path, "deadbeef") is None
     # changing an input changes the fingerprint
     fp2 = checkpoint.nam_fingerprint(d, "id", nsteps=3)
     assert fp2 != fp
+
+
+def test_association_savepoint_end_to_end(tmp_path, demo):
+    d, samplem = demo
+    y = samplem["case"].astype(float)
+    null_y = np.random.RandomState(5).randn(50, 40)
+    path = str(tmp_path / "nam_sp.npz")
+    p1 = cna_tpu.tl.association(d, y, "id", Nnull=40, null_y=null_y,
+                                nam_savepoint=path)
+    p2 = cna_tpu.tl.association(d, y, "id", Nnull=40, null_y=null_y,
+                                nam_savepoint=path)
+    assert p1 == p2
 
 
 def test_phase_profiler_collects():
