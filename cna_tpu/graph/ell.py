@@ -98,14 +98,20 @@ def from_scipy(a, dtype=None, pad_to: int = 8,
 
         dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
 
-    rows = np.repeat(np.arange(n), degrees)
-    offsets = np.arange(a.nnz) - np.repeat(a.indptr[:-1], degrees)
+    # flat scatter into the padded (n, k) layout; int32 throughout and a
+    # single flat index keep the one-time pack fast at ~100M-edge scale
+    rows = np.repeat(np.arange(n, dtype=np.int32), degrees)
+    offsets = (np.arange(a.nnz, dtype=np.int64)
+               - np.repeat(a.indptr[:-1].astype(np.int64), degrees))
 
     in_ell = offsets < k
-    indices = np.zeros((n, k), dtype=np.int32)
-    weights = np.zeros((n, k), dtype=dtype)
-    indices[rows[in_ell], offsets[in_ell]] = a.indices[in_ell]
-    weights[rows[in_ell], offsets[in_ell]] = a.data[in_ell].astype(dtype)
+    indices = np.zeros(n * k, dtype=np.int32)
+    weights = np.zeros(n * k, dtype=dtype)
+    flat = rows[in_ell].astype(np.int64) * k + offsets[in_ell]
+    indices[flat] = a.indices[in_ell]
+    weights[flat] = a.data[in_ell].astype(dtype)
+    indices = indices.reshape(n, k)
+    weights = weights.reshape(n, k)
 
     ov = ~in_ell
     m = _round_up(int(ov.sum()), pad_to) if ov.any() else 0
