@@ -58,40 +58,146 @@ class BlockGraph:
     def n_pairs(self) -> int:
         return self.tiles.shape[0]
 
+    @property
+    def n_rows(self) -> int:
+        return self.colsums_raw.shape[0]
+
+    @property
+    def dtype(self):
+        return self.tiles.dtype
+
     def colsums(self, self_weight: float = 1.0):
         return self.colsums_raw + self_weight
 
 
-def cluster_ordering(embedding, block_size=256, seed=0):
-    """Locality ordering of cells from a k-means clustering of ``embedding``.
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HybridGraph:
+    """Dense tiles for heavy block pairs + ELL for stray edges.
 
-    Clusters of ~4 blocks are ordered by their centroid's leading
-    principal direction, concentrating graph edges near the reordered
-    diagonal.  Returns a ``Reordering``.
+    kNN graphs under a locality ordering put 60-90% of edges into a small
+    set of heavy (row-block, col-block) pairs; the rest are long-range
+    strays that would explode a pure block-dense pair count.  The hybrid
+    splits at an edge-coverage target: heavy pairs run as batched MXU
+    matmuls (streaming reads), strays through the row-gather ELL path.
     """
-    from sklearn.cluster import MiniBatchKMeans
 
+    block: BlockGraph
+    ell: "object"  # EllGraph of the stray edges over the padded rows
+    colsums_raw: jnp.ndarray  # (N_padded,) of the FULL matrix
+    n_cells: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_rows(self) -> int:
+        return self.colsums_raw.shape[0]
+
+    @property
+    def dtype(self):
+        return self.block.tiles.dtype
+
+    def colsums(self, self_weight: float = 1.0):
+        return self.colsums_raw + self_weight
+
+
+def cluster_ordering(embedding, block_size=256, leaf_size=None, seed=0):
+    """Locality ordering of cells: recursive median bisection (kd order).
+
+    Recursively splits along the current subset's maximum-variance
+    principal direction until leaves of ~``leaf_size`` cells, emitting
+    leaves in traversal order.  Cells adjacent in embedding space land
+    adjacent in the ordering, concentrating kNN edges near the reordered
+    diagonal (far better than flat k-means, whose within-cluster order is
+    random).  Returns a ``Reordering``.
+    """
     from .reorder import Reordering
 
-    n = embedding.shape[0]
-    n_clusters = max(n // (4 * block_size), 1)
-    if n_clusters <= 1:
-        perm = np.arange(n)
-    else:
-        km = MiniBatchKMeans(n_clusters=n_clusters, random_state=seed,
-                             n_init=3, batch_size=4096)
-        labels = km.fit_predict(np.asarray(embedding))
-        centroids = km.cluster_centers_
-        # order clusters along their leading principal direction
-        c_centered = centroids - centroids.mean(axis=0)
-        _, _, vt = np.linalg.svd(c_centered, full_matrices=False)
-        cluster_rank = np.argsort(c_centered @ vt[0])
-        cluster_pos = np.empty(len(cluster_rank), dtype=np.int64)
-        cluster_pos[cluster_rank] = np.arange(len(cluster_rank))
-        perm = np.argsort(cluster_pos[labels], kind="stable")
+    emb = np.asarray(embedding, dtype=np.float64)
+    n = emb.shape[0]
+    if leaf_size is None:
+        leaf_size = max(block_size // 4, 32)
+
+    perm = np.empty(n, dtype=np.int64)
+    out_pos = 0
+    stack = [np.arange(n)]
+    while stack:
+        idx = stack.pop()
+        if len(idx) <= leaf_size:
+            perm[out_pos : out_pos + len(idx)] = idx
+            out_pos += len(idx)
+            continue
+        sub = emb[idx]
+        center = sub.mean(axis=0)
+        centered = sub - center
+        # leading principal direction via a few power iterations
+        rng = np.random.RandomState(seed)
+        v = rng.randn(sub.shape[1])
+        for _ in range(4):
+            v = centered.T @ (centered @ v)
+            v_norm = np.linalg.norm(v)
+            if v_norm == 0:
+                break
+            v = v / v_norm
+        proj = centered @ v
+        half = len(idx) // 2
+        order = np.argpartition(proj, half)
+        # push right half first so the left half is emitted first
+        stack.append(idx[order[half:]])
+        stack.append(idx[order[:half]])
+    assert out_pos == n
+
     inv = np.empty_like(perm)
     inv[perm] = np.arange(n)
     return Reordering(perm=perm, inv=inv)
+
+
+def from_scipy_hybrid(a, block_size=64, coverage=0.85, dtype=None,
+                      min_pair_nnz=None) -> HybridGraph:
+    """Convert a locality-ordered sparse matrix to the hybrid format.
+
+    Pairs are kept dense until ``coverage`` of edges are covered (or all
+    pairs with >= ``min_pair_nnz`` edges if given); the remainder goes to
+    an ELL stray graph over the same padded row space.
+    """
+    import scipy.sparse as sp
+
+    from .ell import from_scipy
+
+    a = sp.csr_matrix(a)
+    n = a.shape[0]
+    b = block_size
+    n_blocks = -(-n // b)
+    n_pad = n_blocks * b
+
+    coo = a.tocoo()
+    key = (coo.row // b).astype(np.int64) * n_blocks + coo.col // b
+    uniq, pair_of_edge, counts = np.unique(key, return_inverse=True,
+                                           return_counts=True)
+    if min_pair_nnz is None:
+        order = np.argsort(counts)[::-1]
+        cum = np.cumsum(counts[order]) / max(coo.nnz, 1)
+        cut = int(np.searchsorted(cum, coverage)) + 1
+        min_pair_nnz = counts[order][min(cut - 1, len(order) - 1)]
+    dense_pair = counts >= min_pair_nnz
+    dense_edge = dense_pair[pair_of_edge]
+
+    a_dense = sp.csr_matrix(
+        (coo.data[dense_edge], (coo.row[dense_edge], coo.col[dense_edge])),
+        shape=(n_pad, n_pad))
+    a_stray = sp.csr_matrix(
+        (coo.data[~dense_edge], (coo.row[~dense_edge], coo.col[~dense_edge])),
+        shape=(n_pad, n_pad))
+
+    block = from_scipy_blocks(a_dense, block_size=b, dtype=dtype)
+    ell = from_scipy(a_stray, dtype=dtype)
+
+    if dtype is None:
+        import jax as _jax
+
+        dtype = np.float64 if _jax.config.jax_enable_x64 else np.float32
+    colsums = np.zeros(n_pad, dtype=dtype)
+    colsums[:n] = np.asarray(a.sum(axis=0)).ravel().astype(dtype)
+    return HybridGraph(block=block, ell=ell,
+                       colsums_raw=jnp.asarray(colsums), n_cells=n)
 
 
 def from_scipy_blocks(a, block_size=256, dtype=None) -> BlockGraph:

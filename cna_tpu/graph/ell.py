@@ -62,6 +62,14 @@ class EllGraph:
     def n_overflow(self) -> int:
         return self.overflow_rows.shape[0]
 
+    @property
+    def n_rows(self) -> int:
+        return self.colsums_raw.shape[0]
+
+    @property
+    def dtype(self):
+        return self.weights.dtype
+
     def colsums(self, self_weight: float = 1.0):
         return self.colsums_raw + self_weight
 

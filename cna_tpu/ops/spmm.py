@@ -148,9 +148,12 @@ def diffusion_step(s, graph, colsums, self_weight, block_rows=None):
     the update is a weighted average over neighbors of the column-scaled
     state plus a scaled self-loop.
     """
-    from ..graph.blocks import BlockGraph
+    from ..graph.blocks import BlockGraph, HybridGraph
 
     t = s / colsums[:, None]
+    if isinstance(graph, HybridGraph):
+        return (block_spmm(graph.block, t) + graph_spmm(graph.ell, t)
+                + self_weight * t)
     if isinstance(graph, BlockGraph):
         return block_spmm(graph, t) + self_weight * t
     return graph_spmm(graph, t, block_rows=block_rows) + self_weight * t

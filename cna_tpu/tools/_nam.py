@@ -66,8 +66,9 @@ def set_graph_format(data, fmt: str) -> None:
     """Choose the device SpMM format for ``data``: 'ell' (exact row
     gather; the default) or 'block' (cluster-reordered dense-tile MXU
     path for atlas-scale throughput)."""
-    if fmt not in ("ell", "block"):
-        raise ValueError(f"unknown graph format {fmt!r}; use 'ell' or 'block'")
+    if fmt not in ("ell", "block", "hybrid"):
+        raise ValueError(
+            f"unknown graph format {fmt!r}; use 'ell', 'block' or 'hybrid'")
     data.uns[_FORMAT_KEY] = fmt
     data.uns.pop(_ELL_CACHE_KEY, None)
 
@@ -98,8 +99,9 @@ def get_device_graph(data, fmt=None):
         if cached is not None and cached[0] is conn:
             return cached[1], cached[2]
 
-    if fmt == "block":
-        from ..graph.blocks import cluster_ordering, from_scipy_blocks
+    if fmt in ("block", "hybrid"):
+        from ..graph.blocks import (cluster_ordering, from_scipy_blocks,
+                                    from_scipy_hybrid)
         from ..graph.reorder import permute_graph
 
         obsm = getattr(data, "obsm", {})
@@ -109,7 +111,9 @@ def get_device_graph(data, fmt=None):
             from ..graph.reorder import rcm_ordering
 
             ordering = rcm_ordering(conn)
-        graph = from_scipy_blocks(permute_graph(conn, ordering))
+        permuted = permute_graph(conn, ordering)
+        graph = (from_scipy_hybrid(permuted) if fmt == "hybrid"
+                 else from_scipy_blocks(permuted))
     else:
         ordering = None
         graph = from_scipy(conn)
@@ -270,13 +274,12 @@ def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
 
     graph, ordering = get_device_graph(data)
     is_block = ordering is not None or not isinstance(graph, EllGraph)
-    dtype = (graph.weights.dtype if isinstance(graph, EllGraph)
-             else graph.tiles.dtype)
+    dtype = graph.dtype
     s0_host = onehot.to_numpy().astype(dtype)
     if is_block:
         if ordering is not None:
             s0_host = s0_host[ordering.perm]
-        n_pad = graph.colsums_raw.shape[0]
+        n_pad = graph.n_rows
         if n_pad > s0_host.shape[0]:
             s0_host = np.pad(s0_host, ((0, n_pad - s0_host.shape[0]), (0, 0)))
         block_rows = None

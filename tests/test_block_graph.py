@@ -65,3 +65,33 @@ def test_association_block_format_matches(demo):
     assert res_ell.p == res_blk.p
     np.testing.assert_allclose(res_ell.ncorrs, res_blk.ncorrs,
                                rtol=1e-6, atol=1e-9)
+
+
+def test_hybrid_spmm_matches_scipy():
+    from cna_tpu.graph.blocks import from_scipy_hybrid
+
+    rng = np.random.default_rng(7)
+    n, s = 900, 6
+    a = sp.random(n, n, density=0.03, random_state=8, format="csr")
+    g = from_scipy_hybrid(a, block_size=32, coverage=0.6)
+    assert g.block.n_pairs > 0 and g.ell.weights.shape[0] == g.n_rows
+    x = rng.standard_normal((n, s))
+    xp = jnp.asarray(np.pad(x, ((0, g.n_rows - n), (0, 0))))
+    t = xp / g.colsums(1.0)[:, None]
+    got = np.asarray(spmm.diffusion_step(xp, g, g.colsums(1.0), 1.0))[:n]
+    expected = (a @ (x / np.asarray(g.colsums(1.0))[:n, None])
+                + np.asarray(t)[:n])
+    np.testing.assert_allclose(got, expected, rtol=1e-9, atol=1e-11)
+
+
+def test_nam_hybrid_format_matches_ell(demo):
+    d, _ = demo
+    nam_ell, keep_ell = cna_tpu.tl.nam(d, "id")
+    cna_tpu.tl._nam.set_graph_format(d, "hybrid")
+    try:
+        nam_h, keep_h = cna_tpu.tl.nam(d, "id")
+    finally:
+        cna_tpu.tl._nam.set_graph_format(d, "ell")
+    assert np.array_equal(keep_ell, keep_h)
+    np.testing.assert_allclose(nam_ell.values, nam_h.values,
+                               rtol=1e-9, atol=1e-12)
