@@ -83,9 +83,13 @@ def main():
 
     # cold run (compilation) + warm run (steady state)
     cold_s, p_cold = _run_cna_tpu(d, y, nnull, seed=0)
+    from cna_tpu.utils import profiling
+
+    prof = profiling.enable_profiling()
     warm_s, p_warm = _run_cna_tpu(d, y, nnull, seed=1)
     print(f"# cna_tpu assoc: cold {cold_s:.1f}s warm {warm_s:.1f}s "
           f"(p={p_warm:.4g})", file=sys.stderr)
+    prof.report(out=lambda *a: print("#", *a, file=sys.stderr))
 
     ref_s, p_ref = _run_reference(d, y, nnull, seed=0)
     print(f"# reference assoc (CPU f64): {ref_s:.1f}s (p={p_ref:.4g})",
