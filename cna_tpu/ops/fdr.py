@@ -58,15 +58,26 @@ def tail_counts(z, znull, atol=1e-8, rtol=1e-5):
 
 
 def _uniform_spacing(thresholds):
-    """(t0, dt) if ``thresholds`` is an arithmetic progression, else None."""
-    t = np.asarray(thresholds, dtype=np.float64)
+    """(t0, dt) if ``thresholds`` is an arithmetic progression, else None.
+
+    The tolerance is dtype-aware: a float64 ``np.arange`` grid that went
+    through a float32 device round-trip deviates from exact arithmetic
+    progression by a few f32 ulps (~1e-7 relative) — still "uniform" for
+    every practical purpose (the deviation sits at the same scale as the
+    pipeline's own f32 rounding and below the reference's tolerance
+    slack), and falling back to the general per-column path there costs
+    ~100x at 1e8 null statistics.
+    """
+    t_in = np.asarray(thresholds)
+    t = t_in.astype(np.float64)
     if len(t) < 2:
         return None
     dt = t[1] - t[0]
     if dt <= 0:
         return None
+    eps = np.finfo(t_in.dtype).eps if t_in.dtype.kind == "f" else 1e-12
     ideal = t[0] + dt * np.arange(len(t))
-    if np.max(np.abs(t - ideal)) > 1e-9 * max(abs(t[-1]), dt):
+    if np.max(np.abs(t - ideal)) > 8 * eps * max(abs(t[-1]), dt):
         return None
     return float(t[0]), float(dt)
 
@@ -74,12 +85,16 @@ def _uniform_spacing(thresholds):
 @partial(jax.jit, static_argnames=("n_bins",))
 def _tail_hist_uniform(values, t0, dt, n_bins, atol, rtol):
     """Tail counts against a uniform threshold grid, collapsed over all
-    entries of ``values`` — no search, no per-element table gather.
+    entries of ``values`` — no search, no per-element table gather, and
+    no scatter (a 1e8-element ``bincount`` lowers to a serialized TPU
+    scatter-add measured at ~8.6 s; this formulation runs in ~tens of ms).
 
     Mirrors the reference comparison ``x^2 >= t_i^2 (1-rtol) - atol`` by
     solving for the threshold index in closed form:
-    ``c(x) = #{i : t_i <= sqrt((x^2 + atol) / (1-rtol))}`` and
-    ``tails_i = #{x : c(x) >= i+1}`` — a bincount + reversed cumsum.
+    ``c(x) = #{i : t_i <= sqrt((x^2 + atol) / (1-rtol))}``; then
+    ``tails_i = #{x : c(x) >= i+1}`` directly as a chunked broadcasted
+    compare-and-reduce — pure VPU work at (N x n_bins) bool ops, summed
+    in int32 on the fly so nothing big is materialized.
 
     Precision: under x64 (golden mode) the bucketization runs in float64,
     whose rounding sits ~8 orders below the tolerance slack — exact
@@ -90,8 +105,25 @@ def _tail_hist_uniform(values, t0, dt, n_bins, atol, rtol):
     x2 = (values.astype(jnp.float64) ** 2).ravel()
     v = jnp.sqrt((x2 + atol) / (1.0 - rtol))
     c = jnp.clip(jnp.floor((v - t0) / dt) + 1.0, 0, n_bins).astype(jnp.int32)
-    hist = jnp.bincount(c, length=n_bins + 1)
-    return jnp.cumsum(hist[::-1])[::-1][1:]  # (n_bins,)
+
+    bins = jnp.arange(1, n_bins + 1, dtype=jnp.int32)  # (n_bins,)
+    n = c.shape[0]
+    chunk = 1 << 16
+    if n <= chunk:
+        return jnp.sum(c[:, None] >= bins[None, :], axis=0,
+                       dtype=jnp.int32)
+
+    nchunks = -(-n // chunk)
+    pad = nchunks * chunk - n
+    # pad with bucket 0, which is below every tail threshold
+    c = jnp.pad(c, (0, pad)).reshape(nchunks, chunk)
+
+    def body(acc, ck):
+        return acc + jnp.sum(ck[:, None] >= bins[None, :], axis=0,
+                             dtype=jnp.int32), None
+
+    tails, _ = jax.lax.scan(body, jnp.zeros(n_bins, jnp.int32), c)
+    return tails
 
 
 def empirical_fdrs(z, znull, thresholds, atol=1e-8, rtol=1e-5):

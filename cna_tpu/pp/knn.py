@@ -67,16 +67,30 @@ def _knn_query_block(q, x, sq_norms, k, key_block, n, method="exact"):
     return best_d, best_i.astype(jnp.int32)
 
 
-def knn_search(points, k, query_block=4096, key_block=8192, method="exact"):
-    """kNN of ``points`` against themselves (exact by default).
+_AUTO_EXACT_MAX_N = 20_000
+
+
+def knn_search(points, k, query_block=4096, key_block=8192, method="auto"):
+    """kNN of ``points`` against themselves.
 
     Returns (indices (N, k) int32, distances (N, k) float) with neighbors
     sorted by increasing distance; each point is its own first neighbor.
-    ``method='approx'`` trades exactness for the TPU-optimized
-    PartialReduce top-k on large inputs (recall >= ~0.99 per block).
+
+    ``method``:
+      * ``'exact'`` — full ``lax.top_k`` merge per key block; recall 1.0
+        but the TPU top-k over (query_block, key_block)-wide slabs is the
+        dominant cost at scale.
+      * ``'approx'`` — ``jax.lax.approx_max_k`` (the TPU PartialReduce op
+        of the TPU-KNN paper) reduces each key block to k candidates at
+        >= ~0.99 per-block recall before the exact merge — the role
+        pynndescent's approximate search plays upstream of the reference
+        (scanpy's default kNN is itself approximate).
+      * ``'auto'`` (default) — exact up to 20k points, approx beyond.
     """
     x = jnp.asarray(points)
     n = x.shape[0]
+    if method == "auto":
+        method = "exact" if n <= _AUTO_EXACT_MAX_N else "approx"
     # pad key axis so dynamic slices stay in bounds
     nkb = -(-n // key_block)
     pad = nkb * key_block - n

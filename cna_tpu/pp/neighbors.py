@@ -118,7 +118,7 @@ def fuzzy_connectivities(indices, dists):
 
 
 def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None,
-              method="exact"):
+              method="auto"):
     """Build the cell-cell graph: kNN + fuzzy connectivities.
 
     Drop-in for the role ``sc.pp.neighbors`` plays upstream of the

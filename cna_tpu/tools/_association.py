@@ -141,11 +141,14 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
     nullminps_dev, nullr2s_dev, nullncorrs = _assoc_null(
         u, m_proj, namresid, y_, ks_dev, r, n_local, bool(local_test))
 
-    # ---- host sync point: pull the small results ----
-    k, p, r2 = int(k_dev), float(p_dev), float(r2_dev)
-    ncorrs = np.asarray(ncorrs_dev)
-    nullminps = np.asarray(nullminps_dev)
-    nullr2s = np.asarray(nullr2s_dev)
+    # ---- host sync point: pull the small results in ONE batched fetch
+    # (each separate pull pays a device->host round-trip; through a
+    # remote-TPU tunnel that is ~50-100 ms apiece) ----
+    (k_h, p_h, r2_h, ncorrs, nullminps, nullr2s, yhat_h, ycond_h,
+     beta_h, r2pc_h) = jax.device_get(
+        (k_dev, p_dev, r2_dev, ncorrs_dev, nullminps_dev, nullr2s_dev,
+         yhat, ycond, beta_full, r2_perpc_full))
+    k, p, r2 = int(k_h), float(p_h), float(r2_h)
 
     if k == max(ks):
         warnings.warn(
@@ -167,9 +170,10 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
         abs_ncorrs = np.abs(ncorrs)
         maxcorr = max(abs_ncorrs.max(), 0.001)
         fdr_thresholds = np.arange(maxcorr / 4, maxcorr, maxcorr / 400)
+        # pass the grid as host float64: empirical_fdrs detects uniform
+        # spacing exactly and takes its collapsed-histogram fast path
         fdr_vals = np.asarray(
-            fdr_ops.empirical_fdrs(ncorrs_dev, nullncorrs,
-                                   jnp.asarray(fdr_thresholds)))
+            fdr_ops.empirical_fdrs(ncorrs_dev, nullncorrs, fdr_thresholds))
 
         fdrs = pd.DataFrame({
             "threshold": fdr_thresholds,
@@ -190,9 +194,9 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
     return Result(
         p=pfinal, nullminps=nullminps, k=k, ncorrs=ncorrs,
         fdrs=fdrs, fdr_5p_t=fdr_5p_t, fdr_10p_t=fdr_10p_t,
-        yresid_hat=np.asarray(yhat), yresid=np.asarray(ycond), ks=ks,
-        beta=np.asarray(beta_full)[:k], r2=r2,
-        r2_perpc=np.asarray(r2_perpc_full)[:k],
+        yresid_hat=yhat_h, yresid=ycond_h, ks=ks,
+        beta=beta_h[:k], r2=r2,
+        r2_perpc=r2pc_h[:k],
         nullr2_mean=nullr2s.mean(), nullr2_std=nullr2s.std(),
     )
 

@@ -251,6 +251,16 @@ class NamArrays:
                             columns=self.cells)
 
 
+@partial(jax.jit, static_argnames=("n_samples", "dtype"))
+def _onehot_device(codes, n_samples, dtype):
+    """(N,) int32 sample codes -> (N, n_samples) one-hot on device.
+
+    Code -1 (filtered/padding cell) produces an all-zero row.
+    """
+    return (codes[:, None]
+            == jnp.arange(n_samples, dtype=jnp.int32)[None, :]).astype(dtype)
+
+
 def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
          show_progress=False, mesh=None) -> NamArrays:
     """Build the NAM via diffusion with the adaptive kurtosis stop.
@@ -264,31 +274,51 @@ def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
     """
     out = select_output(show_progress)
 
-    onehot = pd.get_dummies(data.obs[sid_name])
+    # cells->samples one-hot (reference ``_nam.py:51`` pd.get_dummies):
+    # column order is sorted uniques, or the category order (including
+    # unused categories) for categorical dtype.  Only the int32 code
+    # vector crosses to the device; the (N, S) one-hot is built there —
+    # at atlas scale the dense one-hot is tens of MB of h2d otherwise.
+    obs_sids = data.obs[sid_name]
+    if isinstance(obs_sids.dtype, pd.CategoricalDtype):
+        codes = obs_sids.cat.codes.to_numpy().astype(np.int32)
+        samples = pd.Index(obs_sids.cat.categories)
+    else:
+        codes64, cats = pd.factorize(obs_sids, sort=True)
+        codes = codes64.astype(np.int32)
+        samples = pd.Index(cats)
     if sids is not None:
-        onehot = onehot[sids]
-    samples = onehot.columns
+        sids = pd.Index(sids)
+        col_pos = samples.get_indexer(sids)
+        if (col_pos < 0).any():
+            raise KeyError(list(sids[col_pos < 0][:5]))
+        code_map = np.full(len(samples) + 1, -1, dtype=np.int32)
+        code_map[col_pos] = np.arange(len(sids), dtype=np.int32)
+        codes = code_map[codes]  # codes==-1 (NaN sid) stays -1 via [-1]
+        samples = sids
+    n_samples = len(samples)
     cells = data.obs.index
     n_cells = len(cells)
-    c_counts_host = onehot.sum(axis=0).to_numpy()
+    c_counts_host = np.bincount(codes[codes >= 0], minlength=n_samples)
 
     graph, ordering = get_device_graph(data)
     is_block = ordering is not None or not isinstance(graph, EllGraph)
     dtype = graph.dtype
-    s0_host = onehot.to_numpy().astype(dtype)
     if is_block:
         if ordering is not None:
-            s0_host = s0_host[ordering.perm]
+            codes = codes[ordering.perm]
         n_pad = graph.n_rows
-        if n_pad > s0_host.shape[0]:
-            s0_host = np.pad(s0_host, ((0, n_pad - s0_host.shape[0]), (0, 0)))
+        if n_pad > codes.shape[0]:
+            # padding rows get code -1: an all-zero one-hot row
+            codes = np.pad(codes, (0, n_pad - codes.shape[0]),
+                           constant_values=-1)
         block_rows = None
         n_true = n_cells
     else:
         block_rows = _auto_block_rows(graph.n_cells, graph.max_degree,
-                                      s0_host.shape[1])
+                                      n_samples)
         n_true = None
-    s0 = jnp.asarray(s0_host)
+    s0 = _onehot_device(jnp.asarray(codes), n_samples, dtype)
     c_counts = jnp.asarray(c_counts_host, dtype=dtype)
     colsums = graph.colsums(self_weight)
     sw = jnp.asarray(self_weight, dtype=dtype)
