@@ -30,6 +30,10 @@ def _setup_cache():
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # overlap the tunnel's one-time first-d2h setup (~70s) with data prep
+    from cna_tpu import config as cna_config
+
+    cna_config.warmup_transfers_async()
 
 
 def _build_workload(n_cells, n_samples, nnull):

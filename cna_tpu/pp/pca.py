@@ -22,14 +22,16 @@ def _pca_core(x):
     evals, evecs = jnp.linalg.eigh(cov)
     evals = evals[::-1]
     evecs = evecs[:, ::-1]
-    return xc @ evecs, evals, evecs
+    # total variance = trace of the covariance (for variance_ratio) —
+    # computed here so the caller never re-uploads X for diagnostics
+    return xc @ evecs, evals, evecs, jnp.trace(cov)
 
 
 def pca_array(x, n_comps=50):
     """Return (scores (N, n_comps), explained variance, components)."""
     x = jnp.asarray(x)
     n_comps = min(n_comps, x.shape[1], x.shape[0])
-    scores, evals, evecs = _pca_core(x)
+    scores, evals, evecs, _ = _pca_core(x)
     return scores[:, :n_comps], evals[:n_comps], evecs[:, :n_comps]
 
 
@@ -41,12 +43,17 @@ def pca(data, n_comps=50, key_added="X_pca"):
     """
     if data.X is None:
         raise ValueError("data.X is required for PCA")
-    scores, variance, components = pca_array(data.X, n_comps=n_comps)
-    data.obsm[key_added] = np.asarray(scores)
-    total_var = float(np.asarray(jnp.asarray(data.X).var(axis=0, ddof=1).sum()))
+    x = jnp.asarray(data.X)
+    n_comps = min(n_comps, x.shape[1], x.shape[0])
+    scores_d, evals_d, evecs_d, tvar_d = _pca_core(x)
+    # one batched device->host fetch for everything
+    scores, variance, components, total_var = jax.device_get(
+        (scores_d[:, :n_comps], evals_d[:n_comps], evecs_d[:, :n_comps],
+         tvar_d))
+    data.obsm[key_added] = scores
     data.uns["pca"] = {
-        "variance": np.asarray(variance),
-        "variance_ratio": np.asarray(variance) / total_var,
-        "components": np.asarray(components),
+        "variance": variance,
+        "variance_ratio": variance / float(total_var),
+        "components": components,
     }
     return data.obsm[key_added]
