@@ -1,0 +1,243 @@
+"""IVF (inverted-file) approximate kNN — sub-quadratic search on device.
+
+Brute-force kNN (``cna_tpu.ops.knn_pallas``) is exact but O(N^2): ~3 s at
+100k cells on one v5e and ~minutes at 1M.  Atlas-scale search needs an
+index.  CPU stacks use graph-based NN-descent (pynndescent, what scanpy
+runs); that algorithm is pointer-chasing and maps poorly onto the MXU.
+IVF-flat is the TPU-shaped alternative (the structure GPU FAISS uses):
+
+1. **k-means** over (a subsample of) the points — Lloyd iterations are
+   assignment matmuls + segment-sum updates, all on device;
+2. cells are sorted by cluster id, so every cluster is a **contiguous
+   row range**; clusters are cut into fixed-size **slots** of <= M rows
+   (a cluster larger than M spans several slots — nothing is dropped);
+3. each slot scores its members against the members of the slots of its
+   ``nprobe`` nearest clusters: one (M x P*M) distance matmul per slot,
+   batched over slots with ``lax.map`` — contiguous dynamic slices, no
+   scatter/gather;
+4. per-candidate-set top-k via ``jax.lax.approx_max_k`` (recall ~0.99
+   within the probed set).
+
+Total compute ~ N * nprobe * M * D MACs — linear in N for fixed cluster
+geometry.  Overall recall = (probe coverage) x 0.99; with the defaults
+measured >= ~0.95 on both manifold-structured and archetype synthetic
+data (see tests and BENCH notes), comparable to pynndescent's defaults.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("n_clusters", "iters"))
+def _kmeans_fit(x, init_idx, n_clusters, iters):
+    """Lloyd's algorithm; returns centroids (C, D)."""
+    cent = x[init_idx]
+
+    def step(cent, _):
+        d2 = (jnp.sum(x * x, axis=1, keepdims=True)
+              - 2.0 * (x @ cent.T)
+              + jnp.sum(cent * cent, axis=1)[None, :])
+        cid = jnp.argmin(d2, axis=1)
+        sums = jax.ops.segment_sum(x, cid, num_segments=n_clusters)
+        cnts = jax.ops.segment_sum(jnp.ones(x.shape[0], x.dtype), cid,
+                                   num_segments=n_clusters)
+        new = sums / jnp.maximum(cnts, 1.0)[:, None]
+        # keep empty clusters where they were
+        new = jnp.where(cnts[:, None] > 0, new, cent)
+        return new, None
+
+    cent, _ = jax.lax.scan(step, cent, None, length=iters)
+    return cent
+
+
+@jax.jit
+def _assign(x, cent):
+    d2 = (jnp.sum(x * x, axis=1, keepdims=True)
+          - 2.0 * (x @ cent.T)
+          + jnp.sum(cent * cent, axis=1)[None, :])
+    return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "m", "chunk"))
+def _score_slots(x_sorted, slot_starts, slot_counts, probe_starts,
+                 probe_counts, k, m, chunk):
+    """Top-k of each sorted cell against its slot's probe candidates.
+
+    x_sorted: (N_pad, D) cells in cluster order (rows >= N are inf-far).
+    slot_starts/counts: (S,) row range of each slot.
+    probe_starts/counts: (S, P) row ranges of the probed slots.
+    Returns (negd (S, M, k), idx (S, M, k)) in SORTED row coordinates.
+    """
+    p = probe_starts.shape[1]
+    xn = jnp.sum(x_sorted * x_sorted, axis=1)
+
+    def one_slot(args):
+        s0, c0, ps, pc = args
+        q = jax.lax.dynamic_slice_in_dim(x_sorted, s0, m, axis=0)  # (M, D)
+        qn = jax.lax.dynamic_slice_in_dim(xn, s0, m, axis=0)
+
+        def one_probe(j):
+            st = ps[j]
+            cand = jax.lax.dynamic_slice_in_dim(x_sorted, st, m, axis=0)
+            cn = jax.lax.dynamic_slice_in_dim(xn, st, m, axis=0)
+            negd = 2.0 * (q @ cand.T) - qn[:, None] - cn[None, :]
+            cols = st + jnp.arange(m, dtype=jnp.int32)
+            valid = jnp.arange(m, dtype=jnp.int32)[None, :] < pc[j]
+            return jnp.where(valid, negd, -jnp.inf), jnp.broadcast_to(
+                cols[None, :], negd.shape)
+
+        negs, cols = jax.vmap(one_probe)(jnp.arange(p))  # (P, M, M)
+        negs = jnp.moveaxis(negs, 0, 1).reshape(m, p * m)
+        cols = jnp.moveaxis(cols, 0, 1).reshape(m, p * m)
+        bd, bpos = jax.lax.approx_max_k(negs, k, recall_target=0.99)
+        bi = jnp.take_along_axis(cols, bpos, axis=1)
+        # exact descending order within the k results
+        od, opos = jax.lax.top_k(bd, k)
+        oi = jnp.take_along_axis(bi, opos, axis=1)
+        return od, oi
+
+    s = slot_starts.shape[0]
+    negd, idx = jax.lax.map(
+        one_slot, (slot_starts, slot_counts, probe_starts, probe_counts),
+        batch_size=chunk)
+    return negd, idx
+
+
+def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
+            kmeans_sample=262_144, slot_rows=None, seed=0):
+    """Approximate self-kNN via an on-device IVF-flat index.
+
+    Returns (indices (N, k) int32, distances (N, k) float32) sorted by
+    increasing distance, each point its own first neighbor (the contract
+    of ``knn_search``).
+
+    Recall depends on the data's metric structure (true of every ANN
+    index): ~0.96 measured at 100k cells on synthetic manifolds, ~0.9 at
+    1M on the same generator (at that density the off-manifold noise
+    dominates neighbor distances — an expander regime where raising
+    ``nprobe`` plateaus; measured invariant from nprobe 16 to 64).  Real
+    atlas embeddings have far higher neighborhood SNR.  Use
+    ``method='pallas'`` (exact, O(N^2)) if in doubt.
+    """
+    x = np.asarray(points, dtype=np.float32)
+    n, d = x.shape
+    if n_clusters is None:
+        n_clusters = int(np.clip(n // 1024, 16, 8192))
+    c = int(min(n_clusters, max(n // 8, 1)))
+    x_dev = jnp.asarray(x)
+
+    # --- 1. centroids (fit on a subsample for huge N) ---
+    rng = np.random.RandomState(seed)
+    fit_x = x_dev
+    if n > kmeans_sample:
+        sub = rng.choice(n, kmeans_sample, replace=False)
+        fit_x = x_dev[jnp.asarray(np.sort(sub))]
+    init_idx = jnp.asarray(
+        rng.choice(fit_x.shape[0], c, replace=False).astype(np.int32))
+    cent = _kmeans_fit(fit_x, init_idx, c, kmeans_iters)
+    cid = np.asarray(_assign(x_dev, cent))
+
+    # --- 2. sort by cluster; cut clusters into <= M-row slots ---
+    order = np.argsort(cid, kind="stable").astype(np.int32)
+    sizes = np.bincount(cid, minlength=c)
+    if slot_rows is None:
+        m = int(np.ceil(1.25 * n / c / 8) * 8)
+    else:
+        m = slot_rows
+    starts_of_cluster = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    slot_starts, slot_counts, slot_cluster = [], [], []
+    for ci in range(c):
+        sz, st = int(sizes[ci]), int(starts_of_cluster[ci])
+        off = 0
+        while True:
+            take = min(m, sz - off)
+            slot_starts.append(st + off)
+            slot_counts.append(max(take, 0))
+            slot_cluster.append(ci)
+            off += take
+            if off >= sz:
+                break
+    slot_starts = np.asarray(slot_starts, np.int32)
+    slot_counts = np.asarray(slot_counts, np.int32)
+    slot_cluster = np.asarray(slot_cluster, np.int32)
+    s = len(slot_starts)
+
+    # --- 3. per-cluster probe lists -> padded per-slot slot lists ---
+    cn = np.asarray(cent)
+    cd2 = ((cn[:, None, :] - cn[None, :, :]) ** 2).sum(-1) if c <= 1024 \
+        else None
+    if cd2 is None:
+        cc = np.asarray(jnp.sum(cent * cent, axis=1))
+        cd2 = cc[:, None] + cc[None, :] - 2.0 * np.asarray(cent @ cent.T)
+    probe_c = np.argsort(cd2, axis=1)[:, :min(nprobe, c)]  # (C, P) incl self
+
+    slots_of_cluster = [[] for _ in range(c)]
+    for si, ci in enumerate(slot_cluster):
+        slots_of_cluster[ci].append(si)
+    max_slots = max(
+        sum(len(slots_of_cluster[cj]) for cj in probe_c[ci])
+        for ci in range(c))
+    # dummy slot: start in the padded tail, count 0 -> -inf contributions.
+    # NOTE: every (start, start+m) window must stay in bounds — XLA's
+    # dynamic_slice CLAMPS out-of-range starts, which silently shifts the
+    # window and misaligns queries with their output rows.
+    dummy_start = n
+    probe_starts = np.full((s, max_slots), dummy_start, np.int32)
+    probe_counts = np.zeros((s, max_slots), np.int32)
+    for si in range(s):
+        ci = slot_cluster[si]
+        col = 0
+        for cj in probe_c[ci]:
+            for sj in slots_of_cluster[cj]:
+                probe_starts[si, col] = slot_starts[sj]
+                probe_counts[si, col] = slot_counts[sj]
+                col += 1
+
+    # --- 4. score ---
+    n_rows = int(max(int(slot_starts.max()) if s else 0, dummy_start) + m)
+    x_sorted = np.zeros((n_rows, d), np.float32)
+    x_sorted[:n] = x[order]
+    chunk = max(1, min(s, int(2.2e8 // max(m * max_slots * m, 1)) or 1))
+    negd_s, idx_s = _score_slots(
+        jnp.asarray(x_sorted), jnp.asarray(slot_starts),
+        jnp.asarray(slot_counts), jnp.asarray(probe_starts),
+        jnp.asarray(probe_counts), k, m, chunk)
+    negd_s = np.asarray(negd_s)
+    idx_s = np.asarray(idx_s)
+
+    # --- 5. unsort back to input order ---
+    indices = np.zeros((n, k), np.int32)
+    dists = np.zeros((n, k), np.float32)
+    for si in range(s):
+        cnt = int(slot_counts[si])
+        if cnt == 0:
+            continue
+        rows_sorted = slot_starts[si] + np.arange(cnt)
+        rows_orig = order[rows_sorted]
+        indices[rows_orig] = order[np.clip(idx_s[si, :cnt], 0, n - 1)]
+        dists[rows_orig] = np.sqrt(np.maximum(-negd_s[si, :cnt], 0.0))
+
+    # contract: self is the first neighbor at distance 0
+    self_col = indices == np.arange(n)[:, None]
+    has_self = self_col.any(axis=1)
+    # ensure self present (approx_max_k may rarely drop an exact tie)
+    indices[:, 0] = np.where(has_self, indices[:, 0], np.arange(n))
+    first = np.where(has_self, self_col.argmax(axis=1), 0)
+    rr = np.arange(n)
+    # swap self into column 0
+    tmp_i, tmp_d = indices[rr, first].copy(), dists[rr, first].copy()
+    indices[rr, first] = indices[:, 0]
+    dists[rr, first] = dists[:, 0]
+    indices[:, 0] = tmp_i
+    dists[:, 0] = np.where(has_self, tmp_d, 0.0)
+    dists[:, 0] = 0.0
+    # re-sort columns 1.. by distance (swap may have unordered them)
+    body_ord = np.argsort(dists[:, 1:], axis=1, kind="stable")
+    indices[:, 1:] = np.take_along_axis(indices[:, 1:], body_ord, axis=1)
+    dists[:, 1:] = np.take_along_axis(dists[:, 1:], body_ord, axis=1)
+    return indices, dists
