@@ -102,10 +102,13 @@ def _tail_hist_uniform(values, t0, dt, n_bins, atol, rtol):
     boundary assignment is fuzzy at the same ~1e-7 relative scale as the
     rest of the f32 pipeline.
     """
-    x2 = (values.astype(jnp.float64) ** 2).ravel()
-    v = jnp.sqrt((x2 + atol) / (1.0 - rtol))
-    c = jnp.clip(jnp.floor((v - t0) / dt) + 1.0, 0, n_bins).astype(jnp.int32)
+    c = _bucketize(values.ravel(), t0, dt, n_bins, atol, rtol)
+    return _tails_from_buckets(c, n_bins)
 
+
+def _tails_from_buckets(c, n_bins):
+    """``tails_i = #{x : c(x) >= i+1}`` as a chunked compare-and-reduce
+    (bounds the broadcasted (chunk, n_bins) intermediate)."""
     bins = jnp.arange(1, n_bins + 1, dtype=jnp.int32)  # (n_bins,)
     n = c.shape[0]
     chunk = 1 << 16
@@ -123,6 +126,49 @@ def _tail_hist_uniform(values, t0, dt, n_bins, atol, rtol):
                              dtype=jnp.int32), None
 
     tails, _ = jax.lax.scan(body, jnp.zeros(n_bins, jnp.int32), c)
+    return tails
+
+
+def _bucketize(values, t0, dt, n_bins, atol, rtol):
+    x2 = (values.astype(jnp.float64) ** 2)
+    v = jnp.sqrt((x2 + atol) / (1.0 - rtol))
+    return jnp.clip(jnp.floor((v - t0) / dt) + 1.0, 0, n_bins).astype(
+        jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_bins", "block"))
+def null_coef_tail_counts(namresid, ycond, n, t0, dt, n_bins, atol=1e-8,
+                          rtol=1e-5, block=32_768):
+    """Tail counts of ``|namresid.T @ ycond| / n`` without materializing it.
+
+    The null neighborhood-coefficient matrix (reference ``_association.py:
+    99``) is (cells x Nnull) — 4 GB at 1M cells x 1000 nulls, which blows
+    single-chip HBM if materialized for the FDR histogram.  This fuses
+    HOT LOOP 3's matmul with the tail-count accumulation: scan over cell
+    blocks, compute the (block x Nnull) coefficient tile on the MXU,
+    bucketize against the uniform threshold grid, accumulate int32 tails.
+
+    namresid: (S, C); ycond: (S, m) standardized projected nulls.
+    Returns (n_bins,) total tail counts over all cells x nulls.
+    """
+    s, c = namresid.shape
+    nblocks = -(-c // block)
+    pad = nblocks * block - c
+    nr = jnp.pad(namresid, ((0, 0), (0, pad)))  # zeros -> bucket 0
+    nr = nr.reshape(s, nblocks, block)
+    bins = jnp.arange(1, n_bins + 1, dtype=jnp.int32)
+    inv_n = 1.0 / n
+
+    def body(acc, nb):  # nb: (S, block)
+        coefs = jnp.abs(nb.T @ ycond) * inv_n  # (block, m)
+        cb = _bucketize(coefs.ravel(), t0, dt, n_bins, atol, rtol)
+        # padding columns bucketize from |0| -> bucket 0 (below every
+        # tail threshold as long as t0 > sqrt(atol/(1-rtol)), which the
+        # association grid maxcorr/4 .. maxcorr satisfies)
+        return acc + _tails_from_buckets(cb, n_bins), None
+
+    tails, _ = jax.lax.scan(body, jnp.zeros(n_bins, jnp.int32),
+                            jnp.moveaxis(nr, 1, 0))
     return tails
 
 

@@ -112,7 +112,11 @@ def knn_search(points, k, query_block=4096, key_block=8192, method="auto"):
     if method == "pallas":
         from ..ops.knn_pallas import knn_pallas
 
-        neg_d, indices = knn_pallas(np.asarray(points), k)
+        # Mosaic kernels only lower on TPU; elsewhere run the (slow)
+        # Pallas interpreter so explicit method='pallas' stays correct
+        interpret = jax.devices()[0].platform != "tpu"
+        neg_d, indices = knn_pallas(np.asarray(points), k,
+                                    interpret=interpret)
         dists = jnp.sqrt(jnp.maximum(-neg_d, 0.0))
         return np.asarray(indices), np.asarray(dists)
     if method == "ivf":

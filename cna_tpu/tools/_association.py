@@ -58,20 +58,27 @@ def _assoc_observed(u, m_proj, namresid, y, ks, r):
 
 
 @partial(jax.jit, static_argnames=("r", "n_local", "local_test"))
-def _assoc_null(u, m_proj, namresid, y_, ks, r, n_local, local_test):
+def _assoc_null(u, m_proj, y_, ks, r, n_local, local_test):
     """Null-scoring stage, one dispatch: min-p F-tests over all null
-    columns (HOT LOOP 2, ``:84``) and, when ``local_test``, the null
-    neighborhood coefficients (HOT LOOP 3, ``:96-99``)."""
+    columns (HOT LOOP 2, ``:84``) and, when ``local_test``, the
+    standardized projected nulls that drive the local test (the null
+    neighborhood-coefficient matmul itself — HOT LOOP 3, ``:96-99`` — is
+    fused with the FDR histogram downstream so the (cells x Nnull)
+    matrix is never materialized)."""
     _, nullminps, nullr2s = ftest.minp_stats_batch(u, m_proj, y_, ks, r)
     if not local_test:
         return nullminps, nullr2s, None
-    n = y_.shape[0]
     ycond_ = m_proj @ y_[:, :n_local]
     # pandas ddof=1 std (reference's M.dot(y_) is a DataFrame); the null
     # coefficient scale feeds the FDR thresholds directly.
     ycond_ = moments.scale_by_std(ycond_, ddof=1, axis=0)
-    nullncorrs = jnp.abs(namresid.T @ ycond_) / n
-    return nullminps, nullr2s, nullncorrs
+    return nullminps, nullr2s, ycond_
+
+
+@partial(jax.jit, static_argnames=())
+def _null_ncorrs(namresid, ycond_):
+    """Materialized null neighborhood coefficients (sharded/mesh path)."""
+    return jnp.abs(namresid.T @ ycond_) / ycond_.shape[0]
 
 
 def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
@@ -138,8 +145,8 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
         namresid = jax.device_put(namresid, meshlib.cell_cols(mesh))
 
     n_local = min(1000, Nnull)
-    nullminps_dev, nullr2s_dev, nullncorrs = _assoc_null(
-        u, m_proj, namresid, y_, ks_dev, r, n_local, bool(local_test))
+    nullminps_dev, nullr2s_dev, ycond_null = _assoc_null(
+        u, m_proj, y_, ks_dev, r, n_local, bool(local_test))
 
     # ---- host sync point: pull the small results in ONE batched fetch
     # (each separate pull pays a device->host round-trip; through a
@@ -170,10 +177,30 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
         abs_ncorrs = np.abs(ncorrs)
         maxcorr = max(abs_ncorrs.max(), 0.001)
         fdr_thresholds = np.arange(maxcorr / 4, maxcorr, maxcorr / 400)
-        # pass the grid as host float64: empirical_fdrs detects uniform
-        # spacing exactly and takes its collapsed-histogram fast path
-        fdr_vals = np.asarray(
-            fdr_ops.empirical_fdrs(ncorrs_dev, nullncorrs, fdr_thresholds))
+        n_cells = namresid.shape[1]
+        if mesh is None and n_cells * n_local > 250_000_000:
+            # big single-device problems: fuse HOT LOOP 3's matmul with
+            # the tail-count histogram — O(block x Nnull) peak memory
+            # instead of the (cells x Nnull) null-coefficient matrix
+            # (4 GB at 1M cells x 1000 nulls, which OOMs one chip).
+            # Small problems keep the materialized path below: the fused
+            # nested-scan program compiles slowly relative to tiny runs.
+            t0, dt = float(fdr_thresholds[0]), float(
+                fdr_thresholds[1] - fdr_thresholds[0])
+            nb = len(fdr_thresholds)
+            tails = fdr_ops.null_coef_tail_counts(
+                namresid, ycond_null, n, t0, dt, nb)
+            ranks = fdr_ops._tail_hist_uniform(
+                ncorrs_dev, t0, dt, nb, 1e-8, 1e-5)
+            fdr_vals = np.asarray(tails) / (
+                n_local * np.asarray(ranks))
+        else:
+            nullncorrs = _null_ncorrs(namresid, ycond_null)
+            # host float64 grid: empirical_fdrs detects uniform spacing
+            # exactly and takes its collapsed-histogram fast path
+            fdr_vals = np.asarray(
+                fdr_ops.empirical_fdrs(ncorrs_dev, nullncorrs,
+                                       fdr_thresholds))
 
         fdrs = pd.DataFrame({
             "threshold": fdr_thresholds,

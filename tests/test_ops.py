@@ -232,3 +232,25 @@ def test_empirical_fdrs_simple():
     out = np.asarray(fdr.empirical_fdrs(z, znull, thresholds))
     # only the observed 3.0 passes 0.5/1.0; no nulls pass -> FDR 0
     np.testing.assert_allclose(out, [0.0, 0.0])
+
+
+def test_null_coef_tail_counts_matches_materialized():
+    """Fused matmul+histogram == tails of the materialized coefficients."""
+    import jax.numpy as jnp
+
+    from cna_tpu.ops import fdr as fdr_ops
+
+    rng = np.random.RandomState(7)
+    s, c, m = 12, 3000, 40
+    namresid = jnp.asarray(rng.randn(s, c))
+    ycond = jnp.asarray(rng.randn(s, m))
+    nullncorrs = np.abs(np.asarray(namresid).T @ np.asarray(ycond)) / s
+    maxcorr = nullncorrs.max() * 0.8
+    th = np.arange(maxcorr / 4, maxcorr, maxcorr / 50)
+    t0, dt = float(th[0]), float(th[1] - th[0])
+
+    tails = np.asarray(fdr_ops.null_coef_tail_counts(
+        namresid, ycond, s, t0, dt, len(th), block=1024))
+    want = np.asarray(fdr_ops._tail_hist_uniform(
+        jnp.asarray(nullncorrs), t0, dt, len(th), 1e-8, 1e-5))
+    assert (tails == want).all()
