@@ -90,6 +90,21 @@ def from_scipy(a, dtype=None, pad_to: int = 8,
     degree distribution (rounded up to ``pad_to``); heavier rows spill
     into the COO overflow.
     """
+    parts = _pack_ell_host(a, dtype=dtype, pad_to=pad_to,
+                           width_percentile=width_percentile)
+    return EllGraph(
+        indices=jnp.asarray(parts["indices"]),
+        weights=jnp.asarray(parts["weights"]),
+        overflow_rows=jnp.asarray(parts["overflow_rows"]),
+        overflow_cols=jnp.asarray(parts["overflow_cols"]),
+        overflow_weights=jnp.asarray(parts["overflow_weights"]),
+        colsums_raw=jnp.asarray(parts["colsums"]),
+    )
+
+
+def _pack_ell_host(a, dtype=None, pad_to: int = 8,
+                   width_percentile: float = 98.0) -> dict:
+    """Host-side ELL+COO pack of a scipy sparse matrix (numpy arrays)."""
     import scipy.sparse as sp
 
     a = sp.csr_matrix(a)
@@ -133,14 +148,9 @@ def from_scipy(a, dtype=None, pad_to: int = 8,
         overflow_weights[:cnt] = a.data[ov].astype(dtype)
 
     colsums = np.asarray(a.sum(axis=0)).ravel().astype(dtype)
-    return EllGraph(
-        indices=jnp.asarray(indices),
-        weights=jnp.asarray(weights),
-        overflow_rows=jnp.asarray(overflow_rows),
-        overflow_cols=jnp.asarray(overflow_cols),
-        overflow_weights=jnp.asarray(overflow_weights),
-        colsums_raw=jnp.asarray(colsums),
-    )
+    return dict(indices=indices, weights=weights,
+                overflow_rows=overflow_rows, overflow_cols=overflow_cols,
+                overflow_weights=overflow_weights, colsums=colsums)
 
 
 def from_arrays(indices, weights, colsums_raw, overflow_rows=None,

@@ -149,8 +149,11 @@ def diffusion_step(s, graph, colsums, self_weight, block_rows=None):
     state plus a scaled self-loop.
     """
     from ..graph.blocks import BlockGraph, HybridGraph
+    from .spmm_pallas import BandedGraph, banded_spmm
 
     t = s / colsums[:, None]
+    if isinstance(graph, BandedGraph):
+        return banded_spmm(graph, t) + self_weight * t
     if isinstance(graph, HybridGraph):
         return (block_spmm(graph.block, t) + graph_spmm(graph.ell, t)
                 + self_weight * t)

@@ -63,12 +63,23 @@ _FORMAT_KEY = "_cna_tpu_graph_format"
 
 
 def set_graph_format(data, fmt: str) -> None:
-    """Choose the device SpMM format for ``data``: 'ell' (exact row
-    gather; the default) or 'block' (cluster-reordered dense-tile MXU
-    path for atlas-scale throughput)."""
-    if fmt not in ("ell", "block", "hybrid"):
+    """Choose the device SpMM format for ``data``:
+
+    * 'ell' (default) — exact row-gather SpMM; the robust choice on any
+      graph structure.
+    * 'block' / 'hybrid' — cluster-reordered dense tiles (MXU).
+    * 'banded' — the Pallas slab-DMA kernel (``cna_tpu.ops.spmm_pallas``)
+      on a locality ordering.  Measured 6-25x faster per diffusion step
+      when the ordered graph is actually banded (quasi-1D trajectory
+      manifolds: band fraction ~1); a wash on higher-dimensional
+      manifolds (band fraction ~0.5-0.7, where the spill gather
+      dominates).  Check ``BandedGraph.band_fraction()`` before
+      committing a long run to it.
+    """
+    if fmt not in ("ell", "block", "hybrid", "banded"):
         raise ValueError(
-            f"unknown graph format {fmt!r}; use 'ell', 'block' or 'hybrid'")
+            f"unknown graph format {fmt!r}; use 'ell', 'block', 'hybrid' "
+            "or 'banded'")
     data.uns[_FORMAT_KEY] = fmt
     data.uns.pop(_ELL_CACHE_KEY, None)
 
@@ -99,7 +110,7 @@ def get_device_graph(data, fmt=None):
         if cached is not None and cached[0] is conn:
             return cached[1], cached[2]
 
-    if fmt in ("block", "hybrid"):
+    if fmt in ("block", "hybrid", "banded"):
         from ..graph.blocks import (cluster_ordering, from_scipy_blocks,
                                     from_scipy_hybrid)
         from ..graph.reorder import permute_graph
@@ -112,8 +123,13 @@ def get_device_graph(data, fmt=None):
 
             ordering = rcm_ordering(conn)
         permuted = permute_graph(conn, ordering)
-        graph = (from_scipy_hybrid(permuted) if fmt == "hybrid"
-                 else from_scipy_blocks(permuted))
+        if fmt == "banded":
+            from ..ops.spmm_pallas import banded_from_scipy
+
+            graph = banded_from_scipy(permuted)
+        else:
+            graph = (from_scipy_hybrid(permuted) if fmt == "hybrid"
+                     else from_scipy_blocks(permuted))
     else:
         ordering = None
         graph = from_scipy(conn)

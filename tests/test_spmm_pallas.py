@@ -42,7 +42,7 @@ def test_banded_matches_gather_spmm(n, s):
     y_banded = np.asarray(banded_spmm(banded, x, interpret=True))
     np.testing.assert_allclose(y_banded, y_ell, rtol=2e-5, atol=1e-5)
 
-    # independent XLA twin of the kernel semantics
+    # independent XLA twin of the kernel semantics (+ spill/COO tails)
     import jax.numpy as jnp
     s_pad = ((s + 127) // 128) * 128
     x_pad = jnp.zeros((banded.lidx.shape[0], s_pad), x.dtype)
@@ -50,7 +50,10 @@ def test_banded_matches_gather_spmm(n, s):
     y_xla = np.asarray(_banded_spmm_xla(
         banded.lidx, banded.weights, banded.slab_starts, x_pad,
         banded.row_tile, banded.slab_rows))[:n, :s]
-    from cna_tpu.ops.spmm import coo_spmm_add
+    from cna_tpu.ops.spmm import coo_spmm_add, ell_spmm
+    if banded.spill_indices.shape[1]:
+        y_xla = y_xla + np.asarray(ell_spmm(
+            banded.spill_indices, banded.spill_weights, jnp.asarray(x)))
     y_xla = np.asarray(coo_spmm_add(
         jnp.asarray(y_xla), banded.overflow_rows, banded.overflow_cols,
         banded.overflow_weights, jnp.asarray(x)))
@@ -90,3 +93,32 @@ def test_fully_out_of_band_edges_spill_to_coo():
     y_ell = np.asarray(graph_spmm(ell, x))
     y_banded = np.asarray(banded_spmm(banded, x, interpret=True))
     np.testing.assert_allclose(y_banded, y_ell, rtol=2e-5, atol=1e-5)
+
+
+def test_banded_format_nam_matches_ell():
+    """tl.nam with set_graph_format('banded') == the default ELL path."""
+    import pandas as pd
+
+    import cna_tpu
+    from cna_tpu import pp
+
+    rng = np.random.RandomState(5)
+    n_samples, cells_per = 12, 120
+    t = rng.rand(n_samples * cells_per, 2) * 3
+    proj = rng.randn(2, 12)
+    X = np.sin(t @ proj) + 0.05 * rng.randn(n_samples * cells_per, 12)
+    obs = pd.DataFrame(
+        {"sid": np.repeat([f"s{i}" for i in range(n_samples)], cells_per)},
+        index=[f"c{i}" for i in range(len(X))])
+    d = cna_tpu.CellData(X=X.astype(np.float64), obs=obs)
+    pp.pca(d, n_comps=8)
+    pp.neighbors(d, n_neighbors=8)
+
+    nam_ell, keep_ell = cna_tpu.tl.nam(d, "sid", nsteps=3)
+    cna_tpu.tl.set_graph_format(d, "banded")
+    nam_banded, keep_banded = cna_tpu.tl.nam(d, "sid", nsteps=3)
+    cna_tpu.tl.set_graph_format(d, "ell")
+
+    assert (keep_ell == keep_banded).all()
+    np.testing.assert_allclose(nam_banded.to_numpy(), nam_ell.to_numpy(),
+                               rtol=1e-8, atol=1e-10)
