@@ -100,3 +100,64 @@ def association_step(s, graph, colsums, self_weight, c_counts, u, m_proj,
     z = moments.scale_by_std(m_proj @ y_cols, ddof=1, axis=0)
     nullnc = jnp.abs(nam @ z) / nam.shape[0]  # (cells, Nnull)
     return s_new, medkurt, minps, nullnc
+
+
+@partial(jax.jit, static_argnames=("k", "key_block", "n"))
+def _knn_sharded(q, x, k, key_block, n):
+    """Blocked exact kNN with query rows sharded over the cells axis.
+
+    Every op in the merge (distance matmul, top_k, take_along_axis) is
+    row-parallel, so GSPMD partitions the whole scan over the query
+    sharding with zero collectives beyond the one-time key replication.
+    """
+    sq_norms = jnp.sum(x * x, axis=1)
+    q_norms = jnp.sum(q * q, axis=1, keepdims=True)
+    nblocks = x.shape[0] // key_block
+
+    def body(carry, b):
+        best_d, best_i = carry
+        start = b * key_block
+        xb = jax.lax.dynamic_slice_in_dim(x, start, key_block, axis=0)
+        nb = jax.lax.dynamic_slice_in_dim(sq_norms, start, key_block, axis=0)
+        negd = -(q_norms + nb[None, :] - 2.0 * (q @ xb.T))
+        idx = (start + jnp.arange(key_block)).astype(jnp.int32)
+        negd = jnp.where((idx < n)[None, :], negd, -jnp.inf)
+        cat_d = jnp.concatenate([best_d, negd], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(idx[None, :], negd.shape)], axis=1)
+        top_d, pos = jax.lax.top_k(cat_d, k)
+        return (top_d, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    init = (jnp.full((q.shape[0], k), -jnp.inf, q.dtype),
+            jnp.zeros((q.shape[0], k), jnp.int32))
+    (best_d, best_i), _ = jax.lax.scan(body, init, jnp.arange(nblocks))
+    return best_d, best_i
+
+
+def sharded_knn(points, k, mesh, key_block: int = 8192):
+    """Exact self-kNN data-parallel over the mesh's ``cells`` axis.
+
+    Queries are row-sharded; the key set is replicated (the one
+    all-gather-equivalent placement).  Returns host (indices (N, k)
+    int32, distances (N, k)) in the ``knn_search`` contract.
+
+    This is the multi-chip scale-out of graph construction: per-device
+    work is N^2/D distances, so a v5p-16 runs the 1M x 1M exact search
+    ~8x faster than one chip.  (On CPU test meshes the same program runs
+    under 8 virtual devices.)
+    """
+    import numpy as np
+
+    x = jnp.asarray(points)
+    n, d = x.shape
+    n_dev = mesh.devices.size
+    # pad queries so the row shard divides evenly; keys pad to key_block
+    q_pad = -(-n // (8 * n_dev)) * (8 * n_dev)
+    k_pad = -(-n // key_block) * key_block
+    q = jnp.pad(x, ((0, q_pad - n), (0, 0)))
+    xk = jnp.pad(x, ((0, k_pad - n), (0, 0)))
+    q = jax.device_put(q, meshlib.cell_rows(mesh))
+    xk = jax.device_put(xk, meshlib.replicated(mesh))
+    neg_d, idx = _knn_sharded(q, xk, k, key_block, n)
+    dists = jnp.sqrt(jnp.maximum(-neg_d[:n], 0.0))
+    return np.asarray(idx[:n]), np.asarray(dists)

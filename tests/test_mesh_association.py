@@ -36,3 +36,22 @@ def test_nam_on_mesh_matches(demo):
     np.testing.assert_allclose(np.asarray(nam_single.nam),
                                np.asarray(nam_mesh.nam),
                                rtol=1e-10, atol=1e-13)
+
+
+def test_sharded_knn_matches_exact():
+    import numpy as np
+
+    from cna_tpu.parallel import mesh as meshlib
+    from cna_tpu.parallel.sharded import sharded_knn
+    from cna_tpu.pp.knn import knn_search
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1000, 12).astype(np.float32)
+    mesh = meshlib.make_mesh(cells=4, perms=2)
+    si, sd = sharded_knn(x, 8, mesh, key_block=256)
+    ei, ed = knn_search(x, 8, method="exact")
+    assert (si[:, 0] == np.arange(1000)).all()
+    np.testing.assert_allclose(np.sort(sd, axis=1), np.sort(ed, axis=1),
+                               atol=5e-3)
+    recall = np.mean([len(set(si[i]) & set(ei[i])) / 8 for i in range(1000)])
+    assert recall == 1.0
