@@ -129,7 +129,7 @@ def _knn_pallas_device(x, k, q_tile, block, interpret=False):
     return outd[:n, :k], outi[:n, :k]
 
 
-def knn_pallas(points, k, q_tile: int = 256, block: int = 1024,
+def knn_pallas(points, k, q_tile: int = 256, block: int = 2048,
                interpret: bool = False):
     """Exact self-kNN of ``points`` ((N, D) array) on TPU via Pallas.
 
