@@ -91,6 +91,30 @@ def graph_spmm(graph, x, block_rows: int | None = None):
     )
 
 
+def _auto_block(n, k, s, budget=1 << 28):
+    """Row-block size bounding the (block, K, S) gather buffer."""
+    per_row = max(k * s, 1)
+    if n * per_row <= budget:
+        return None
+    return max(1024, budget // per_row)
+
+
+def bucket_spmm(graph, x):
+    """Degree-bucketed SpMM: per-bucket gather+einsum, concatenated.
+
+    ``graph`` is a ``cna_tpu.graph.buckets.BucketEllGraph`` whose rows are
+    degree-sorted; each bucket is padded only to its own width, so total
+    gather traffic is ~nnz tiles instead of N*K_p98 (scatter-free: hub
+    rows live in a small wide bucket instead of a COO overflow).
+    """
+    outs = []
+    for idx, w in zip(graph.indices, graph.weights):
+        nb, kb = idx.shape
+        outs.append(ell_spmm(idx, w, x,
+                             block_rows=_auto_block(nb, kb, x.shape[1])))
+    return jnp.concatenate(outs, axis=0)
+
+
 def block_spmm(graph, x, pair_chunk: int = 2048):
     """Block-dense SpMM: ``y = A @ x`` from (P, B, B) dense tiles.
 
@@ -149,9 +173,12 @@ def diffusion_step(s, graph, colsums, self_weight, block_rows=None):
     state plus a scaled self-loop.
     """
     from ..graph.blocks import BlockGraph, HybridGraph
+    from ..graph.buckets import BucketEllGraph
     from .spmm_pallas import BandedGraph, banded_spmm
 
     t = s / colsums[:, None]
+    if isinstance(graph, BucketEllGraph):
+        return bucket_spmm(graph, t) + self_weight * t
     if isinstance(graph, BandedGraph):
         return banded_spmm(graph, t) + self_weight * t
     if isinstance(graph, HybridGraph):
