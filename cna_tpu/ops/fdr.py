@@ -201,7 +201,10 @@ def empirical_fdrs(z, znull, thresholds, atol=1e-8, rtol=1e-5):
         n_bins = len(np.asarray(thresholds))
         tails_total = _tail_hist_uniform(znull, t0, dt, n_bins, atol, rtol)
         ranks = _tail_hist_uniform(jnp.asarray(z), t0, dt, n_bins, atol, rtol)
-        return tails_total / (m * ranks)
+        # divide in the default float (int32/int32 division is f32 in JAX
+        # even under x64, which costs ~8 digits of golden agreement)
+        ftype = jnp.result_type(float)
+        return tails_total.astype(ftype) / (m * ranks).astype(ftype)
 
     tails = tail_counts(thresholds, znull, atol=atol, rtol=rtol)  # (m, T)
     ranks = tail_counts(thresholds, z, atol=atol, rtol=rtol)  # (1, T)

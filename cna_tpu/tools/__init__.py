@@ -7,6 +7,7 @@ graph-format selector.
 from ._association import association
 from ._nam import (diffuse, diffuse_stepwise, nam, set_graph_format,
                    svd_nam)
+from . import _stats  # reference-compatible cna.tl._stats namespace
 
 __all__ = ["association", "nam", "svd_nam", "diffuse", "diffuse_stepwise",
            "set_graph_format"]
