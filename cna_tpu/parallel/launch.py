@@ -53,3 +53,50 @@ def process_info():
     """(process_index, process_count, local_device_count, global_device_count)."""
     return (jax.process_index(), jax.process_count(),
             jax.local_device_count(), jax.device_count())
+
+
+def _digest(value):
+    """Order-independent numeric digest of an array-like: (size, sum,
+    |x| sum, max) — enough to catch any nondeterministic collective or
+    divergent input without shipping the full array between hosts."""
+    import numpy as np
+
+    local = np.asarray(jax.device_get(value), dtype=np.float64).ravel()
+    mx = float(local.max()) if local.size else 0.0
+    return np.array([float(local.size), float(local.sum()),
+                     float(np.abs(local).sum()), mx])
+
+
+def _check_digest_rows(rows, name, atol):
+    """Raise if any process's digest deviates from process 0's."""
+    import numpy as np
+
+    rows = np.atleast_2d(np.asarray(rows))
+    ref = rows[0]
+    for pid, row in enumerate(rows[1:], start=1):
+        if not np.allclose(row, ref, atol=atol, rtol=0.0):
+            raise RuntimeError(
+                f"cross-process disagreement on {name!r}: process {pid} "
+                f"digest {row.tolist()} != process 0 digest {ref.tolist()}"
+            )
+
+
+def assert_agreement(value, name="value", atol=0.0):
+    """Deterministic-collective assertion (SURVEY §5.2).
+
+    Every process computes a numeric digest of ``value`` and all-gathers
+    it; a mismatch raises on every process, naming the first divergent
+    one.  Use in multi-host CI to verify the sharded pipeline produced
+    identical results everywhere (e.g. the global p-value, the NAM
+    checksum after halo-exchange diffusion).  Single-process: a no-op
+    sanity pass.  ``atol`` admits benign cross-host reduction-order
+    noise in f32 runs; the default demands bit-identical digests.
+    """
+    digest = _digest(value)
+    if jax.process_count() == 1:
+        _check_digest_rows(digest[None, :], name, atol)
+        return
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(digest)
+    _check_digest_rows(gathered, name, atol)

@@ -55,3 +55,25 @@ def test_sharded_knn_matches_exact():
                                atol=5e-3)
     recall = np.mean([len(set(si[i]) & set(ei[i])) / 8 for i in range(1000)])
     assert recall == 1.0
+
+
+def test_assert_agreement_single_process():
+    import numpy as np
+
+    from cna_tpu.parallel import launch
+
+    launch.assert_agreement(np.arange(10.0), "arange")  # no-op pass
+
+
+def test_assert_agreement_detects_divergence():
+    import numpy as np
+    import pytest
+
+    from cna_tpu.parallel import launch
+
+    rows = np.stack([launch._digest(np.arange(10.0)),
+                     launch._digest(np.arange(10.0) + 1e-3)])
+    with pytest.raises(RuntimeError, match="process 1"):
+        launch._check_digest_rows(rows, "nam_checksum", atol=0.0)
+    # f32 reduction-order noise admitted via atol
+    launch._check_digest_rows(rows, "nam_checksum", atol=1.0)
