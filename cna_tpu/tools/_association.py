@@ -202,10 +202,16 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
                 fdr_ops.empirical_fdrs(ncorrs_dev, nullncorrs,
                                        fdr_thresholds))
 
+        # num_detected[t] = #{|ncorr| > t} (reference ``:105-108``), as one
+        # sort + searchsorted instead of a 400-threshold host loop (the
+        # loop is O(T * cells) — ~0.5 s of pure numpy at 1M cells)
+        sorted_abs = np.sort(abs_ncorrs)
+        num_detected = sorted_abs.size - np.searchsorted(
+            sorted_abs, fdr_thresholds, side="right")
         fdrs = pd.DataFrame({
             "threshold": fdr_thresholds,
             "fdr": fdr_vals,
-            "num_detected": [(abs_ncorrs > t).sum() for t in fdr_thresholds],
+            "num_detected": num_detected,
         })
 
         # maximal FDR<5% / FDR<10% sets (reference ``:110-118``)
