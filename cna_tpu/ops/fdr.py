@@ -208,7 +208,8 @@ def empirical_fdrs(z, znull, thresholds, atol=1e-8, rtol=1e-5):
 
     tails = tail_counts(thresholds, znull, atol=atol, rtol=rtol)  # (m, T)
     ranks = tail_counts(thresholds, z, atol=atol, rtol=rtol)  # (1, T)
-    fdp = tails / ranks
+    ftype = jnp.result_type(float)
+    fdp = tails.astype(ftype) / ranks.astype(ftype)
     return fdp.mean(axis=0)
 
 

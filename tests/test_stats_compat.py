@@ -96,3 +96,15 @@ def test_grouplevel_permutation_reference_signature():
                                       np.arange(6.0) * 2)
     with pytest.raises(ValueError):
         tstats.grouplevel_permutation(g, np.arange(18.0), 2)
+
+
+def test_empirical_fdrs_nonuniform_thresholds_golden(ref_stats, rng):
+    """Non-arithmetic threshold grids take the general (per-column) path;
+    it must agree with the reference at float64 precision too."""
+    z = rng.normal(size=60) * 2
+    znull = rng.normal(size=(60, 9))
+    thresholds = np.sort(rng.uniform(0.05, 2.5, 25))
+    ours = np.asarray(tstats.empirical_fdrs(z, znull, thresholds))
+    assert ours.dtype == np.float64
+    theirs = ref_stats.empirical_fdrs(z, znull, thresholds)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-12)
