@@ -54,7 +54,11 @@ def _assoc_observed(u, m_proj, namresid, y, ks, r):
     yhat = u @ beta_masked
     r2_perpc_full = (beta_full / jnp.sqrt(ycond @ ycond)) ** 2
     ncorrs = (namresid.T @ y) / n
-    return k, p_arr[0], r2_arr[0], ycond, yhat, beta_full, r2_perpc_full, ncorrs
+    # scalar pulled early by the caller to build the FDR threshold grid
+    # before the bulk ncorrs transfer (reference ``:101`` floor incl.)
+    maxcorr = jnp.maximum(jnp.max(jnp.abs(ncorrs)), 0.001)
+    return (k, p_arr[0], r2_arr[0], ycond, yhat, beta_full, r2_perpc_full,
+            ncorrs, maxcorr)
 
 
 @partial(jax.jit, static_argnames=("r", "n_local", "local_test"))
@@ -120,7 +124,8 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
 
     # observed stage (one dispatch)
     (k_dev, p_dev, r2_dev, ycond, yhat, beta_full, r2_perpc_full,
-     ncorrs_dev) = _assoc_observed(u, m_proj, namresid, y, ks_dev, r)
+     ncorrs_dev, maxcorr_dev) = _assoc_observed(u, m_proj, namresid, y,
+                                                ks_dev, r)
 
     # permutation null (reference ``:80-84``)
     ystd = (y - y.mean()) / y.std()
@@ -148,6 +153,41 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
     nullminps_dev, nullr2s_dev, ycond_null = _assoc_null(
         u, m_proj, y_, ks_dev, r, n_local, bool(local_test))
 
+    # ---- dispatch the local-test FDR device work BEFORE the bulk host
+    # sync: only the maxcorr scalar syncs here (its buffer is ready as
+    # soon as the observed program finishes), so the (cells,) coefficient
+    # transfer below overlaps with the FDR compute — through a tunneled
+    # TPU the d2h path is ~8 MB/s and the ncorrs pull alone is ~50 ms per
+    # 100k cells ----
+    fdr_dev = None
+    if local_test:
+        out("computing neighborhood-level FDRs")
+        # threshold grid (reference ``:101-102``), from the on-device max:
+        # float() yields a float64 arange, which the empirical-FDR kernel
+        # detects as exactly uniform (its collapsed-histogram fast path)
+        maxcorr = float(maxcorr_dev)
+        fdr_thresholds = np.arange(maxcorr / 4, maxcorr, maxcorr / 400)
+        n_cells = namresid.shape[1]
+        if mesh is None and n_cells * n_local > 250_000_000:
+            # big single-device problems: fuse HOT LOOP 3's matmul with
+            # the tail-count histogram — O(block x Nnull) peak memory
+            # instead of the (cells x Nnull) null-coefficient matrix
+            # (4 GB at 1M cells x 1000 nulls, which OOMs one chip).
+            # Small problems keep the materialized path below: the fused
+            # nested-scan program compiles slowly relative to tiny runs.
+            t0, dt = float(fdr_thresholds[0]), float(
+                fdr_thresholds[1] - fdr_thresholds[0])
+            nb = len(fdr_thresholds)
+            tails = fdr_ops.null_coef_tail_counts(
+                namresid, ycond_null, n, t0, dt, nb)
+            ranks = fdr_ops._tail_hist_uniform(
+                ncorrs_dev, t0, dt, nb, 1e-8, 1e-5)
+            fdr_dev = ("fused", tails, ranks)
+        else:
+            nullncorrs = _null_ncorrs(namresid, ycond_null)
+            fdr_dev = ("dense", fdr_ops.empirical_fdrs(
+                ncorrs_dev, nullncorrs, fdr_thresholds), None)
+
     # ---- host sync point: pull the small results in ONE batched fetch
     # (each separate pull pays a device->host round-trip; through a
     # remote-TPU tunnel that is ~50-100 ms apiece) ----
@@ -170,37 +210,16 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
             "value; consider increasing Nnull"
         )
 
-    # local neighborhood-level test (reference ``:91-118``)
+    # local neighborhood-level test (reference ``:91-118``): the device
+    # work was dispatched above; assemble the host-side table here
     fdrs, fdr_5p_t, fdr_10p_t = None, None, None
     if local_test:
-        out("computing neighborhood-level FDRs")
         abs_ncorrs = np.abs(ncorrs)
-        maxcorr = max(abs_ncorrs.max(), 0.001)
-        fdr_thresholds = np.arange(maxcorr / 4, maxcorr, maxcorr / 400)
-        n_cells = namresid.shape[1]
-        if mesh is None and n_cells * n_local > 250_000_000:
-            # big single-device problems: fuse HOT LOOP 3's matmul with
-            # the tail-count histogram — O(block x Nnull) peak memory
-            # instead of the (cells x Nnull) null-coefficient matrix
-            # (4 GB at 1M cells x 1000 nulls, which OOMs one chip).
-            # Small problems keep the materialized path below: the fused
-            # nested-scan program compiles slowly relative to tiny runs.
-            t0, dt = float(fdr_thresholds[0]), float(
-                fdr_thresholds[1] - fdr_thresholds[0])
-            nb = len(fdr_thresholds)
-            tails = fdr_ops.null_coef_tail_counts(
-                namresid, ycond_null, n, t0, dt, nb)
-            ranks = fdr_ops._tail_hist_uniform(
-                ncorrs_dev, t0, dt, nb, 1e-8, 1e-5)
-            fdr_vals = np.asarray(tails) / (
-                n_local * np.asarray(ranks))
+        if fdr_dev[0] == "fused":
+            fdr_vals = np.asarray(fdr_dev[1]) / (
+                n_local * np.asarray(fdr_dev[2]))
         else:
-            nullncorrs = _null_ncorrs(namresid, ycond_null)
-            # host float64 grid: empirical_fdrs detects uniform spacing
-            # exactly and takes its collapsed-histogram fast path
-            fdr_vals = np.asarray(
-                fdr_ops.empirical_fdrs(ncorrs_dev, nullncorrs,
-                                       fdr_thresholds))
+            fdr_vals = np.asarray(fdr_dev[1])
 
         # num_detected[t] = #{|ncorr| > t} (reference ``:105-108``), as one
         # sort + searchsorted instead of a 400-threshold host loop (the
