@@ -202,9 +202,11 @@ def empirical_fdrs(z, znull, thresholds, atol=1e-8, rtol=1e-5):
         tails_total = _tail_hist_uniform(znull, t0, dt, n_bins, atol, rtol)
         ranks = _tail_hist_uniform(jnp.asarray(z), t0, dt, n_bins, atol, rtol)
         # divide in the default float (int32/int32 division is f32 in JAX
-        # even under x64, which costs ~8 digits of golden agreement)
+        # even under x64, which costs ~8 digits of golden agreement).
+        # Cast ranks BEFORE multiplying by m: at ~2.1M+ observed stats and
+        # m=1000 the int32 product m*ranks would silently overflow.
         ftype = jnp.result_type(float)
-        return tails_total.astype(ftype) / (m * ranks).astype(ftype)
+        return tails_total.astype(ftype) / (m * ranks.astype(ftype))
 
     tails = tail_counts(thresholds, znull, atol=atol, rtol=rtol)  # (m, T)
     ranks = tail_counts(thresholds, z, atol=atol, rtol=rtol)  # (1, T)
@@ -223,8 +225,13 @@ def empirical_fwers(z, n_max_z2, atol=1e-8, rtol=1e-5):
     return (tc + 1) / (len(n_max_z2) + 1)
 
 
-def minfwer_loo(n_max_z2):
-    """Leave-one-out minimal attainable FWER (reference ``_stats.py:90-92``)."""
+def minfwer_loo(n_max_z2, atol=1e-8, rtol=1e-5):
+    """Leave-one-out minimal attainable FWER (reference ``_stats.py:90-92``).
+
+    ``atol``/``rtol`` are accepted for signature parity with the reference
+    and ignored, exactly as the reference ignores them.
+    """
+    del atol, rtol
     n_max_z2 = jnp.asarray(n_max_z2)
     tc = (n_max_z2[None, :] >= n_max_z2[:, None]).sum(axis=1)
     return (tc + 1) / len(n_max_z2)

@@ -52,8 +52,15 @@ def minp_stats_batch(u, m_proj, y_cols, ks, r):
 
     Equivalent to mapping reference ``_minp_stats`` (``_association.py:
     50-61``) over the columns of ``y_cols``:
-      zcond = M y;  zcond /= std(zcond)   (numpy ddof=0, no recentering)
+      zcond = M y;  zcond /= std(zcond)
       for k in ks: F-test of top-k PC regression; pick k minimizing p.
+
+    ddof note: the reference's ``M.dot(z)`` is a pandas object (``M`` is a
+    DataFrame), so its ``zcond.std()`` is pandas ddof=1, not numpy ddof=0.
+    The F statistic is scale-invariant so either convention gives
+    identical k/p/r2 (goldened); we standardize with ddof=0 here.  Any
+    scale-SENSITIVE consumer of zcond (beta, yresid) must use ddof=1 —
+    see ``_assoc_observed`` in ``tools/_association.py``.
 
     Args:
       u: (n, npc) orthonormal sample-by-PC basis (npc >= max(ks)).

@@ -68,10 +68,22 @@ def _digest(value):
 
 
 def _check_digest_rows(rows, name, atol):
-    """Raise if any process's digest deviates from process 0's."""
+    """Raise if any process's digest deviates from process 0's.
+
+    A NaN anywhere in the digest (the value itself contained NaN, even
+    identically on every process) raises a dedicated error rather than a
+    misattributed "cross-process disagreement" — ``allclose`` would flag
+    NaN == NaN as a mismatch otherwise.
+    """
     import numpy as np
 
     rows = np.atleast_2d(np.asarray(rows))
+    if np.isnan(rows).any():
+        raise RuntimeError(
+            f"digest of {name!r} contains NaN — the checked value itself "
+            "has NaN entries; fix the producing computation (this is not "
+            "a cross-process disagreement)"
+        )
     ref = rows[0]
     for pid, row in enumerate(rows[1:], start=1):
         if not np.allclose(row, ref, atol=atol, rtol=0.0):

@@ -426,7 +426,9 @@ def association(data, y, sid_name, batches=None, covs=None, donorids=None,
 
     # per-cell write-back (reference ``:228-237``)
     if key_added in data.obs:
-        warnings.warn(f"Key '{key_added}' already exists in data.obs. Overwriting.")
+        warnings.warn(
+            f"data.obs already has a column named '{key_added}'; its "
+            "contents will be replaced with this run's coefficients.")
     data.obs[key_added] = np.nan
     data.obs.loc[kept, key_added] = res.ncorrs
 

@@ -2,9 +2,11 @@
 
 The reference keeps its permutation and FDR/FWER kernels in
 ``src/cna/tools/_stats.py`` (lines 4-105); downstream code sometimes
-imports them directly (``from cna.tl import _stats``).  This module
-provides the same names with the same call signatures, implemented on
-the framework's XLA kernels (``ops.permutations``, ``ops.fdr``).
+reaches them directly via attribute access (``import cna;
+cna.tl._stats.tail_counts(...)``) or ``from cna.tools import _stats``.
+This module provides the same names with the same call signatures,
+implemented on the framework's XLA kernels (``ops.permutations``,
+``ops.fdr``).
 
 Signature notes:
 
