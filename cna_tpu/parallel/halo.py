@@ -54,6 +54,7 @@ class HaloPlan:
     send_idx: jnp.ndarray
     colsums: jnp.ndarray
     n_cells: int = dataclasses.field(metadata=dict(static=True))
+    n_ghosts: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def n_shards(self) -> int:
@@ -66,6 +67,13 @@ class HaloPlan:
     @property
     def ghosts_per_pair(self) -> int:
         return self.send_idx.shape[2]
+
+    def ghost_fraction(self) -> float:
+        """True (unpadded) ghost rows exchanged per step, as a fraction of
+        all cells.  << 1 on locality-ordered graphs means the halo moves
+        only boundary rows; -> (D-1) means the plan has degenerated to an
+        all-gather and the GSPMD path would move the same bytes."""
+        return self.n_ghosts / max(self.n_cells, 1)
 
 
 def build_halo_plan(indices, weights, colsums, n_shards, pad_to=8) -> HaloPlan:
@@ -91,6 +99,7 @@ def build_halo_plan(indices, weights, colsums, n_shards, pad_to=8) -> HaloPlan:
     # per (consumer shard i, producer shard j): sorted unique remote rows
     ghost_lists: list[list[np.ndarray]] = []
     g_max = 1
+    n_ghosts = 0
     for i in range(n_shards):
         row_lo, row_hi = i * nd, (i + 1) * nd
         idx_i = indices[row_lo:row_hi]
@@ -103,6 +112,7 @@ def build_halo_plan(indices, weights, colsums, n_shards, pad_to=8) -> HaloPlan:
             needed = np.unique(idx_i[own_i == j])
             per_producer.append(needed)
             g_max = max(g_max, len(needed))
+            n_ghosts += len(needed)
         ghost_lists.append(per_producer)
     g = ((g_max + pad_to - 1) // pad_to) * pad_to
 
@@ -133,6 +143,30 @@ def build_halo_plan(indices, weights, colsums, n_shards, pad_to=8) -> HaloPlan:
         send_idx=jnp.asarray(send_idx),
         colsums=jnp.asarray(colsums.reshape(n_shards, nd)),
         n_cells=n,
+        n_ghosts=n_ghosts,
+    )
+
+
+def place_plan(plan: HaloPlan, mesh) -> HaloPlan:
+    """Shard the plan's arrays over the mesh's ``cells`` axis.
+
+    Every per-shard leading axis (D) lines up with the cell shards:
+    ``local_indices``/``local_weights``/``colsums`` row blocks live on the
+    shard that computes them; ``send_idx`` is sharded over the PRODUCER
+    axis so each shard holds exactly what it must send.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from . import mesh as meshlib
+
+    rows = NamedSharding(mesh, P(meshlib.CELLS))
+    return dataclasses.replace(
+        plan,
+        local_indices=jax.device_put(plan.local_indices, rows),
+        local_weights=jax.device_put(plan.local_weights, rows),
+        send_idx=jax.device_put(plan.send_idx, rows),
+        colsums=jax.device_put(plan.colsums, rows),
     )
 
 

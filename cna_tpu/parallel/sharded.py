@@ -1,11 +1,14 @@
-"""Sharded execution of the CNA pipeline over a (cells, perms) mesh.
+"""GSPMD-sharded pipeline stages over a (cells, perms) mesh.
 
-Design (SURVEY §2.3/§5.7): GSPMD sharding annotations + jit; XLA inserts
-the collectives.  The diffusion gather reads remote rows of the scaled
-state — with the state row-sharded over ``cells``, XLA lowers this to an
-all-gather of the (N, S) state per step, which is exact and rides ICI.
-(A halo-exchange shard_map variant that moves only boundary rows is the
-planned optimization for multi-host DCN meshes.)
+Design (SURVEY §2.3/§5.7): sharding annotations + jit; XLA inserts the
+collectives.  For DIFFUSION this module is the *fallback*: the gather
+reads remote rows of the scaled state, which XLA lowers to an all-gather
+of the (N, S) state per step — exact, and fine intra-host over ICI, but
+it moves the whole state regardless of how many rows each shard actually
+references.  The production ``association(mesh=)``/``nam_arrays(mesh=)``
+path runs diffusion through the explicit halo exchange instead
+(``parallel.halo`` wired in ``tools._nam``), which ships only boundary
+rows; this GSPMD step remains for graph formats that have no halo plan.
 
 The permutation-null stage shards the Nnull axis: each device scores its
 own null columns (projector matmul + cumulative F-tests) with no

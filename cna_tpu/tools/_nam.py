@@ -149,6 +149,45 @@ def get_device_graph(data, fmt=None):
     return graph, ordering
 
 
+_HALO_PLAN_KEY = "_cna_tpu_halo_plan"
+_DIFFUSION_PATH_KEY = "_cna_tpu_diffusion_path"
+
+
+def get_halo_plan(data, n_shards):
+    """Halo-exchange plan over ``n_shards`` cell shards, cached in uns.
+
+    Built from a full-width (overflow-free) ELL pack of the connectivity
+    so every edge participates in the exchange plan.  Returns ``None``
+    when a plan cannot represent the graph (an imported ``EllGraph``
+    carrying COO overflow edges) — callers fall back to the GSPMD path.
+    """
+    from ..parallel.halo import build_halo_plan
+
+    conn = get_connectivity(data)
+    uns = getattr(data, "uns", None)
+    key = f"{_HALO_PLAN_KEY}:{n_shards}"
+    if uns is not None:
+        cached = uns.get(key)
+        if cached is not None and cached[0] is conn:
+            return cached[1]
+
+    if isinstance(conn, EllGraph):
+        if conn.n_overflow:
+            return None
+        plan = build_halo_plan(
+            np.asarray(conn.indices), np.asarray(conn.weights),
+            np.asarray(conn.colsums_raw), n_shards)
+    else:
+        from ..graph.ell import _pack_ell_host
+
+        parts = _pack_ell_host(conn, width_percentile=100.0)
+        plan = build_halo_plan(parts["indices"], parts["weights"],
+                               parts["colsums"], n_shards)
+    if uns is not None:
+        uns[key] = (conn, plan)
+    return plan
+
+
 def _auto_block_rows(n, k, s):
     """Row-block size bounding the gather buffer to ~256M elements."""
     budget = 1 << 28
@@ -164,12 +203,8 @@ def _diffusion_step(s, graph, colsums, self_weight, block_rows=None):
                                block_rows=block_rows)
 
 
-@partial(jax.jit, static_argnames=("maxnsteps", "nsteps", "block_rows",
-                                   "n_true"))
-def _diffuse_adaptive(s0, graph, colsums, c_counts, self_weight,
-                      maxnsteps=15, nsteps=None, block_rows=None,
-                      n_true=None):
-    """Full diffusion loop fused into one on-device while_loop.
+def _adaptive_loop(s0, c_counts, step, maxnsteps, nsteps, n_cells):
+    """The fused adaptive-diffusion while_loop, generic over the step.
 
     Replicates reference ``_nam``'s stepping (``_nam.py:56-71``): after
     each step compute the median (across cells) excess kurtosis of the
@@ -177,20 +212,20 @@ def _diffuse_adaptive(s0, graph, colsums, c_counts, self_weight,
     step-to-step R²; stop when the kurtosis drop is < 3 after >= 3 steps
     (or after exactly ``nsteps``), capped at ``maxnsteps``.
 
-    ``n_true``: number of real cells when ``s0`` carries zero padding
-    rows (block-dense format); statistics then exclude the padding so the
-    stopping rule is invariant to the storage format.
+    ``step``: callable s -> s' (one diffusion update; the single-device
+    format-dispatched SpMM or the halo-exchange sharded step).
+    ``n_cells``: number of real cells when ``s0`` carries zero padding
+    rows; statistics exclude the padding so the stopping rule is
+    invariant to the storage/shard layout.
 
     Returns (s_final, steps_taken, medkurt trail, R² trail) — the trails
     are NaN-padded (maxnsteps,) buffers for post-hoc diagnostics printing.
     """
     dtype = s0.dtype
     nan = jnp.asarray(jnp.nan, dtype)
-    n_cells = s0.shape[0] if n_true is None else n_true
 
     def step_stats(s, old_s):
-        s_new = spmm.diffusion_step(s, graph, colsums, self_weight,
-                                    block_rows=block_rows)
+        s_new = step(s)
         snormed = s_new / c_counts[None, :]
         kurt = moments.kurtosis(snormed, axis=1)[:n_cells]
         medkurt = jnp.median(kurt)
@@ -220,6 +255,43 @@ def _diffuse_adaptive(s0, graph, colsums, c_counts, self_weight,
     )
     s, _, _, i, _, mk_buf, r2_buf = jax.lax.while_loop(cond, body, init)
     return s, i, mk_buf, r2_buf
+
+
+@partial(jax.jit, static_argnames=("maxnsteps", "nsteps", "block_rows",
+                                   "n_true"))
+def _diffuse_adaptive(s0, graph, colsums, c_counts, self_weight,
+                      maxnsteps=15, nsteps=None, block_rows=None,
+                      n_true=None):
+    """Adaptive diffusion with the format-dispatched single-program SpMM."""
+    n_cells = s0.shape[0] if n_true is None else n_true
+
+    def step(s):
+        return spmm.diffusion_step(s, graph, colsums, self_weight,
+                                   block_rows=block_rows)
+
+    return _adaptive_loop(s0, c_counts, step, maxnsteps, nsteps, n_cells)
+
+
+@partial(jax.jit, static_argnames=("mesh", "self_weight", "maxnsteps",
+                                   "nsteps", "n_true"))
+def _diffuse_adaptive_halo(s0, plan, c_counts, mesh, self_weight,
+                           maxnsteps=15, nsteps=None, n_true=None):
+    """Adaptive diffusion through the explicit halo-exchange sharded SpMM.
+
+    The production multi-chip path (SURVEY §5.7): per step each cell
+    shard exchanges only the ghost rows its neighbors reference (one
+    ``all_to_all`` inside ``shard_map``), instead of the GSPMD
+    all-gather of the full (N, S) state.  Stopping statistics exclude
+    the shard-padding rows (``n_true``).
+    """
+    from ..parallel.halo import halo_diffusion_step
+
+    n_cells = s0.shape[0] if n_true is None else n_true
+
+    def step(s):
+        return halo_diffusion_step(s, plan, mesh, self_weight)
+
+    return _adaptive_loop(s0, c_counts, step, maxnsteps, nsteps, n_cells)
 
 
 def diffuse_stepwise(data, s, maxnsteps=15, show_progress=False, self_weight=1):
@@ -328,13 +400,57 @@ def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
     n_cells = len(cells)
     c_counts_host = np.bincount(codes[codes >= 0], minlength=n_samples)
 
+    uns = getattr(data, "uns", None)
+    user_fmt = uns.get(_FORMAT_KEY) if uns is not None else None
+
+    # ---- production sharded path: explicit halo exchange ----
+    # When the mesh splits the cell axis, diffusion runs through the
+    # shard_map halo-exchange SpMM (SURVEY §5.7) — per step each shard
+    # sends only the ghost rows its neighbors reference, instead of the
+    # GSPMD all-gather of the full (N, S) scaled state.  An explicit
+    # non-ELL graph-format request falls back to the GSPMD row-sharded
+    # path (formats like 'banded'/'block' have no halo plan).
+    if mesh is not None:
+        from ..parallel import mesh as meshlib
+
+        cell_shards = dict(
+            zip(mesh.axis_names, mesh.devices.shape)).get(meshlib.CELLS, 1)
+        if cell_shards > 1 and user_fmt in (None, "ell"):
+            plan = get_halo_plan(data, cell_shards)
+            if plan is not None:
+                from ..parallel.halo import place_plan
+
+                dtype = plan.local_weights.dtype
+                n_pad = plan.n_shards * plan.shard_rows
+                codes_p = np.pad(codes, (0, n_pad - codes.shape[0]),
+                                 constant_values=-1)
+                s0 = _onehot_device(jnp.asarray(codes_p), n_samples, dtype)
+                s0 = jax.device_put(s0, meshlib.cell_rows(mesh))
+                plan_d = place_plan(plan, mesh)
+                c_counts = jax.device_put(
+                    jnp.asarray(c_counts_host, dtype=dtype),
+                    meshlib.replicated(mesh))
+                s, steps_dev, mk_buf, r2_buf = _diffuse_adaptive_halo(
+                    s0, plan_d, c_counts, mesh, float(self_weight),
+                    maxnsteps=maxnsteps, nsteps=nsteps, n_true=n_cells)
+                if uns is not None:
+                    uns[_DIFFUSION_PATH_KEY] = "halo"
+                steps_taken = int(steps_dev)
+                if out.enabled:
+                    out(f"\thalo diffusion over {cell_shards} cell shards: "
+                        f"ghost fraction {plan.ghost_fraction():.3f}")
+                    _print_diffusion_trail(out, mk_buf, r2_buf, steps_taken,
+                                           nsteps, maxnsteps)
+                nam = (s[:n_cells] / c_counts[None, :]).T  # (samples, cells)
+                return NamArrays(nam=nam, samples=samples, cells=cells,
+                                 nsteps=steps_taken)
+
     # default format: degree-bucketed ELL (exact, ~nnz gather traffic;
     # measured 2.7x/step over plain ELL on skewed UMAP-union graphs).
-    # The mesh path shards plain ELL rows evenly, so it keeps 'ell'
-    # unless the user set a format explicitly.
+    # The GSPMD mesh fallback shards plain ELL rows evenly, so it keeps
+    # 'ell' unless the user set a format explicitly.
     fmt = None
-    uns = getattr(data, "uns", None)
-    if uns is None or uns.get(_FORMAT_KEY) is None:
+    if user_fmt is None:
         fmt = "ell" if mesh is not None else "bucketed"
     graph, ordering = get_device_graph(data, fmt=fmt)
     is_block = ordering is not None or not isinstance(graph, EllGraph)
@@ -380,16 +496,12 @@ def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
         maxnsteps=maxnsteps, nsteps=nsteps, block_rows=block_rows,
         n_true=n_true)
 
+    if uns is not None:
+        uns[_DIFFUSION_PATH_KEY] = "gspmd" if mesh is not None else "local"
     steps_taken = int(steps_dev)
     if out.enabled:
-        mk = np.asarray(mk_buf)
-        r2 = np.asarray(r2_buf)
-        for i in range(steps_taken):
-            out("\ttaking step", i + 1)
-            out("\tmedian kurtosis:", mk[i] + 3)
-            out("\t20th percentile R2(t,t-1):", r2[i])
-        if nsteps is None and steps_taken < maxnsteps:
-            out("stopping after", steps_taken, "steps")
+        _print_diffusion_trail(out, mk_buf, r2_buf, steps_taken, nsteps,
+                               maxnsteps)
 
     if is_block:
         # back to the caller's cell order (and drop padding rows)
@@ -399,6 +511,20 @@ def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
             s = s[:n_cells]
     nam = (s / c_counts[None, :]).T  # (samples, cells)
     return NamArrays(nam=nam, samples=samples, cells=cells, nsteps=steps_taken)
+
+
+def _print_diffusion_trail(out, mk_buf, r2_buf, steps_taken, nsteps,
+                           maxnsteps):
+    """Print the per-step kurtosis/R² diagnostic trail (the reference's
+    documented UX — its demo tells users to read this, ``_nam.py:62-66``)."""
+    mk = np.asarray(mk_buf)
+    r2 = np.asarray(r2_buf)
+    for i in range(steps_taken):
+        out("\ttaking step", i + 1)
+        out("\tmedian kurtosis:", mk[i] + 3)
+        out("\t20th percentile R2(t,t-1):", r2[i])
+    if nsteps is None and steps_taken < maxnsteps:
+        out("stopping after", steps_taken, "steps")
 
 
 def _encode_batches(batches: pd.Series, samples: pd.Index):

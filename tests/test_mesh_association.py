@@ -14,9 +14,13 @@ def test_association_on_mesh_matches(demo):
 
     res_single = cna_tpu.tl.association(d, y, "id", Nnull=64, null_y=null_y,
                                         return_full=True)
+    assert d.uns["_cna_tpu_diffusion_path"] == "local"
     mesh = make_mesh(jax.devices()[:8], perms=2)
     res_mesh = cna_tpu.tl.association(d, y, "id", Nnull=64, null_y=null_y,
                                       mesh=mesh, return_full=True)
+    # the production mesh path is the explicit halo exchange, not the
+    # GSPMD all-gather fallback
+    assert d.uns["_cna_tpu_diffusion_path"] == "halo"
 
     assert res_single.p == res_mesh.p
     assert res_single.k == res_mesh.k
@@ -32,10 +36,38 @@ def test_nam_on_mesh_matches(demo):
     nam_single, keep_s = cna_tpu.tl._nam.nam_arrays(d, "id")
     mesh = make_mesh(jax.devices()[:4], perms=1)
     nam_mesh, keep_m = cna_tpu.tl._nam.nam_arrays(d, "id", mesh=mesh)
+    assert d.uns["_cna_tpu_diffusion_path"] == "halo"
     assert np.array_equal(keep_s, keep_m)
     np.testing.assert_allclose(np.asarray(nam_single.nam),
                                np.asarray(nam_mesh.nam),
                                rtol=1e-10, atol=1e-13)
+
+
+def test_mesh_gspmd_fallback_on_explicit_format(demo):
+    """A user-pinned non-ELL graph format has no halo plan; the mesh path
+    must fall back to the GSPMD row-sharded diffusion and still match."""
+    d, samplem = demo
+    nam_single, _ = cna_tpu.tl._nam.nam_arrays(d, "id")
+    cna_tpu.tl.set_graph_format(d, "bucketed")
+    try:
+        mesh = make_mesh(jax.devices()[:4], perms=1)
+        nam_mesh, _ = cna_tpu.tl._nam.nam_arrays(d, "id", mesh=mesh)
+        assert d.uns["_cna_tpu_diffusion_path"] == "gspmd"
+        np.testing.assert_allclose(np.asarray(nam_single.nam),
+                                   np.asarray(nam_mesh.nam),
+                                   rtol=1e-10, atol=1e-13)
+    finally:
+        d.uns.pop("_cna_tpu_graph_format", None)
+
+
+def test_halo_plan_ghost_fraction(demo):
+    from cna_tpu.tools._nam import get_halo_plan
+
+    plan = get_halo_plan(demo[0], 4)
+    frac = plan.ghost_fraction()
+    assert 0 < frac  # some cross-shard edges exist
+    # degenerating to an all-gather would be (D-1) = 3x the cell count
+    assert frac < 3.0
 
 
 def test_sharded_knn_matches_exact():
