@@ -172,6 +172,51 @@ def null_coef_tail_counts(namresid, ycond, n, t0, dt, n_bins, atol=1e-8,
     return tails
 
 
+def null_coef_tail_counts_mesh(namresid, ycond, n, t0, dt, n_bins, mesh,
+                               atol=1e-8, rtol=1e-5, block=32_768):
+    """Mesh-sharded fused tail counts: compose ``null_coef_tail_counts``
+    with a (cells, perms) mesh so atlas-scale LOCAL tests never
+    materialize the (cells x Nnull) null-coefficient matrix on ANY shard.
+
+    Each device runs the fused matmul+histogram scan on its
+    (S, C/D_cells) x (S, m/D_perms) tile; the (n_bins,) int32 tails are
+    psum-merged over both axes — the only collective.  Cell and null
+    axes are zero-padded to divide the mesh; zero coefficients bucketize
+    to bin 0, below every tail threshold (t0 > sqrt(atol/(1-rtol)), which
+    the association grid maxcorr/4..maxcorr satisfies), so padding never
+    perturbs counts.
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import mesh as meshlib
+
+    d_cells, d_perms = (dict(zip(mesh.axis_names, mesh.devices.shape)).get(a, 1)
+                        for a in (meshlib.CELLS, meshlib.PERMS))
+    s, c = namresid.shape
+    m = ycond.shape[1]
+    c_pad = -(-c // d_cells) * d_cells - c
+    m_pad = -(-m // d_perms) * d_perms - m
+    if c_pad:
+        namresid = jnp.pad(namresid, ((0, 0), (0, c_pad)))
+    if m_pad:
+        ycond = jnp.pad(ycond, ((0, 0), (0, m_pad)))
+    namresid = jax.device_put(
+        namresid, NamedSharding(mesh, P(None, meshlib.CELLS)))
+    ycond = jax.device_put(ycond, NamedSharding(mesh, P(None, meshlib.PERMS)))
+
+    def local(nr, yc):
+        tails = null_coef_tail_counts(nr, yc, n, t0, dt, n_bins,
+                                      atol=atol, rtol=rtol, block=block)
+        return jax.lax.psum(tails, (meshlib.CELLS, meshlib.PERMS))
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, meshlib.CELLS), P(None, meshlib.PERMS)),
+                   out_specs=P(), check_vma=False)
+    return jax.jit(fn)(namresid, ycond)
+
+
 def empirical_fdrs(z, znull, thresholds, atol=1e-8, rtol=1e-5):
     """FDR curve over magnitude thresholds from permutation nulls.
 

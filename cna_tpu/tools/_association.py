@@ -30,6 +30,12 @@ from ._out import select_output
 from ..utils.profiling import global_profiler
 
 
+# local-test size (cells x local nulls) above which the FDR histogram is
+# fused with the null-coefficient matmul instead of materializing the
+# (cells x Nnull) matrix; module-level so tests can force either branch
+_FUSED_FDR_MIN_ELEMENTS = 250_000_000
+
+
 @partial(jax.jit, static_argnames=("r",))
 def _assoc_observed(u, m_proj, namresid, y, ks, r):
     """Observed-phenotype stage, one dispatch.
@@ -168,18 +174,24 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
         maxcorr = float(maxcorr_dev)
         fdr_thresholds = np.arange(maxcorr / 4, maxcorr, maxcorr / 400)
         n_cells = namresid.shape[1]
-        if mesh is None and n_cells * n_local > 250_000_000:
-            # big single-device problems: fuse HOT LOOP 3's matmul with
-            # the tail-count histogram — O(block x Nnull) peak memory
-            # instead of the (cells x Nnull) null-coefficient matrix
-            # (4 GB at 1M cells x 1000 nulls, which OOMs one chip).
-            # Small problems keep the materialized path below: the fused
-            # nested-scan program compiles slowly relative to tiny runs.
+        if n_cells * n_local > _FUSED_FDR_MIN_ELEMENTS:
+            # big problems: fuse HOT LOOP 3's matmul with the tail-count
+            # histogram — O(block x Nnull) peak memory instead of the
+            # (cells x Nnull) null-coefficient matrix (4 GB at 1M cells
+            # x 1000 nulls, which OOMs one chip).  Under a mesh the same
+            # kernel runs per-shard inside shard_map with a psum merge,
+            # so no shard materializes its tile either.  Small problems
+            # keep the materialized path below: the fused nested-scan
+            # program compiles slowly relative to tiny runs.
             t0, dt = float(fdr_thresholds[0]), float(
                 fdr_thresholds[1] - fdr_thresholds[0])
             nb = len(fdr_thresholds)
-            tails = fdr_ops.null_coef_tail_counts(
-                namresid, ycond_null, n, t0, dt, nb)
+            if mesh is not None:
+                tails = fdr_ops.null_coef_tail_counts_mesh(
+                    namresid, ycond_null, n, t0, dt, nb, mesh)
+            else:
+                tails = fdr_ops.null_coef_tail_counts(
+                    namresid, ycond_null, n, t0, dt, nb)
             ranks = fdr_ops._tail_hist_uniform(
                 ncorrs_dev, t0, dt, nb, 1e-8, 1e-5)
             fdr_dev = ("fused", tails, ranks)

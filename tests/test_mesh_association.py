@@ -60,6 +60,29 @@ def test_mesh_gspmd_fallback_on_explicit_format(demo):
         d.uns.pop("_cna_tpu_graph_format", None)
 
 
+def test_mesh_fused_fdr_matches_dense(demo, monkeypatch):
+    """The fused FDR histogram composed with the mesh (shard_map + psum)
+    must reproduce the dense single-device FDR curve exactly."""
+    from cna_tpu.tools import _association as assoc_mod
+
+    d, samplem = demo
+    y = samplem["case"].astype(float)
+    null_y = np.random.RandomState(11).randn(50, 64)
+
+    res_dense = cna_tpu.tl.association(d, y, "id", Nnull=64, null_y=null_y,
+                                       return_full=True)
+    monkeypatch.setattr(assoc_mod, "_FUSED_FDR_MIN_ELEMENTS", 0)
+    mesh = make_mesh(jax.devices()[:8], perms=2)
+    res_fused = cna_tpu.tl.association(d, y, "id", Nnull=64, null_y=null_y,
+                                       mesh=mesh, return_full=True)
+    assert res_dense.p == res_fused.p
+    np.testing.assert_allclose(res_dense.fdrs.fdr.values,
+                               res_fused.fdrs.fdr.values,
+                               rtol=1e-12, atol=0)
+    np.testing.assert_array_equal(res_dense.fdrs.num_detected.values,
+                                  res_fused.fdrs.num_detected.values)
+
+
 def test_halo_plan_ghost_fraction(demo):
     from cna_tpu.tools._nam import get_halo_plan
 
