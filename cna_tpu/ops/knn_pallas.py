@@ -140,5 +140,8 @@ def knn_pallas(points, k, q_tile: int = 256, block: int = 2048,
     ``interpret=True`` runs the kernel in the Pallas interpreter (any
     backend) for testing.
     """
-    x = jnp.asarray(np.asarray(points, dtype=np.float32))
+    if isinstance(points, jax.Array):
+        x = points.astype(jnp.float32)  # stays on device
+    else:
+        x = jnp.asarray(np.asarray(points, dtype=np.float32))
     return _knn_pallas_device(x, k, q_tile, block, interpret)

@@ -115,8 +115,7 @@ def knn_search(points, k, query_block=4096, key_block=8192, method="auto"):
         # Mosaic kernels only lower on TPU; elsewhere run the (slow)
         # Pallas interpreter so explicit method='pallas' stays correct
         interpret = jax.devices()[0].platform != "tpu"
-        neg_d, indices = knn_pallas(np.asarray(points), k,
-                                    interpret=interpret)
+        neg_d, indices = knn_pallas(points, k, interpret=interpret)
         dists = jnp.sqrt(jnp.maximum(-neg_d, 0.0))
         return np.asarray(indices), np.asarray(dists)
     if method == "ivf":

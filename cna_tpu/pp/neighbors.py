@@ -165,6 +165,8 @@ def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None,
     (computed on the fly from ``data.X`` when absent), truncated to
     ``n_pcs`` components.
     """
+    from .pca import device_rep
+
     if use_rep is None:
         if "X_pca" not in data.obsm:
             from .pca import pca
@@ -173,10 +175,11 @@ def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None,
         rep = data.obsm["X_pca"]
     else:
         rep = data.obsm[use_rep]
+    rep = device_rep(data, rep)  # skip d2h->h2d when pp.pca just ran
     if n_pcs is not None:
         rep = rep[:, :n_pcs]
 
-    indices, dists = knn_search(np.asarray(rep), n_neighbors, method=method)
+    indices, dists = knn_search(rep, n_neighbors, method=method)
 
     n = data.n_obs
     rows = np.repeat(np.arange(n), n_neighbors - 1)

@@ -4,8 +4,16 @@ The reference delegates PCA to scanpy upstream of the library boundary
 (demo.ipynb cell 29 runs ``sc.pp.neighbors`` on a PCA representation).
 Here PCA is in-framework: centered (not scaled) principal components via
 an eigendecomposition of the gene-gene covariance — the Gram trick on the
-small axis, since n_genes << n_cells in the target workloads.  All the
-FLOPs (X^T X and the projection) are MXU matmuls.
+small axis, since n_genes << n_cells in the target workloads.
+
+Device/host split, tuned for TPU: the two FLOP-heavy stages (the
+``X^T X`` covariance and the score projection) are MXU matmuls on
+device; the eigendecomposition itself runs on HOST numpy.  The
+covariance is (G, G) with G <= a few hundred — microseconds of LAPACK —
+while ``jnp.linalg.eigh`` lowers to a large QR-iteration loop program
+whose one-time compile dwarfs the whole graph-build phase (measured:
+the eigh-on-device variant dominated the 100k-cell graph build; the
+host-eigh pipeline compiles in ~1 s).
 """
 
 from __future__ import annotations
@@ -14,46 +22,73 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_PCA_DEV_KEY = "_cna_tpu_pca_dev"
+
 
 @jax.jit
-def _pca_core(x):
+def _cov_core(x):
     xc = x - x.mean(axis=0, keepdims=True)
     cov = (xc.T @ xc) / (x.shape[0] - 1)
-    evals, evecs = jnp.linalg.eigh(cov)
+    return cov
+
+
+@jax.jit
+def _project(x, evecs):
+    xc = x - x.mean(axis=0, keepdims=True)
+    return xc @ evecs
+
+
+def _pca_device(x, n_comps):
+    """Covariance on device, eigh on host, projection on device.
+
+    Returns (scores_dev (N, n_comps), evals (n_comps,) np, evecs
+    (G, n_comps) np, total_var float).
+    """
+    cov = np.asarray(jax.device_get(_cov_core(x)))  # (G, G): tiny pull
+    evals, evecs = np.linalg.eigh(cov)
     evals = evals[::-1]
     evecs = evecs[:, ::-1]
-    # total variance = trace of the covariance (for variance_ratio) —
-    # computed here so the caller never re-uploads X for diagnostics
-    return xc @ evecs, evals, evecs, jnp.trace(cov)
+    scores_dev = _project(x, jnp.asarray(evecs[:, :n_comps], dtype=x.dtype))
+    return scores_dev, evals[:n_comps], evecs[:, :n_comps], float(cov.trace())
 
 
 def pca_array(x, n_comps=50):
     """Return (scores (N, n_comps), explained variance, components)."""
     x = jnp.asarray(x)
     n_comps = min(n_comps, x.shape[1], x.shape[0])
-    scores, evals, evecs, _ = _pca_core(x)
-    return scores[:, :n_comps], evals[:n_comps], evecs[:, :n_comps]
+    scores_dev, evals, evecs, _ = _pca_device(x, n_comps)
+    return scores_dev, jnp.asarray(evals), jnp.asarray(evecs)
 
 
 def pca(data, n_comps=50, key_added="X_pca"):
     """Compute PCA of ``data.X`` into ``data.obsm[key_added]``.
 
     Returns the scores array.  Variance diagnostics are recorded in
-    ``data.uns['pca']``.
+    ``data.uns['pca']``.  The device-resident scores are cached in
+    ``data.uns`` so the downstream kNN (``pp.neighbors``) skips the
+    device->host->device round-trip of the embedding (through a tunneled
+    TPU the d2h path alone is ~8 MB/s).
     """
     if data.X is None:
         raise ValueError("data.X is required for PCA")
     x = jnp.asarray(data.X)
     n_comps = min(n_comps, x.shape[1], x.shape[0])
-    scores_d, evals_d, evecs_d, tvar_d = _pca_core(x)
-    # one batched device->host fetch for everything
-    scores, variance, components, total_var = jax.device_get(
-        (scores_d[:, :n_comps], evals_d[:n_comps], evecs_d[:, :n_comps],
-         tvar_d))
+    scores_dev, variance, components, total_var = _pca_device(x, n_comps)
+    scores = np.asarray(jax.device_get(scores_dev))
     data.obsm[key_added] = scores
+    data.uns[_PCA_DEV_KEY] = (scores, scores_dev)
     data.uns["pca"] = {
         "variance": variance,
-        "variance_ratio": variance / float(total_var),
+        "variance_ratio": variance / total_var,
         "components": components,
     }
     return data.obsm[key_added]
+
+
+def device_rep(data, rep):
+    """The device-array twin of ``rep`` if it is this ``pca``'s output
+    (identity-matched), else ``rep`` itself."""
+    cached = data.uns.get(_PCA_DEV_KEY)
+    if cached is not None and cached[0] is rep:
+        return cached[1]
+    return rep

@@ -25,6 +25,7 @@ import pandas as pd
 from ..core.results import Result
 from ..ops import fdr as fdr_ops
 from ..ops import ftest, moments, permutations
+from ..parallel.dist import fetch, fetch_many
 from ._nam import NamArrays, _resid_nam, nam, nam_arrays
 from ._out import select_output
 from ..utils.profiling import global_profiler
@@ -204,9 +205,9 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
     # (each separate pull pays a device->host round-trip; through a
     # remote-TPU tunnel that is ~50-100 ms apiece) ----
     (k_h, p_h, r2_h, ncorrs, nullminps, nullr2s, yhat_h, ycond_h,
-     beta_h, r2pc_h) = jax.device_get(
-        (k_dev, p_dev, r2_dev, ncorrs_dev, nullminps_dev, nullr2s_dev,
-         yhat, ycond, beta_full, r2_perpc_full))
+     beta_h, r2pc_h) = fetch_many(
+        k_dev, p_dev, r2_dev, ncorrs_dev, nullminps_dev, nullr2s_dev,
+        yhat, ycond, beta_full, r2_perpc_full)
     k, p, r2 = int(k_h), float(p_h), float(r2_h)
 
     if k == max(ks):
@@ -228,10 +229,9 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
     if local_test:
         abs_ncorrs = np.abs(ncorrs)
         if fdr_dev[0] == "fused":
-            fdr_vals = np.asarray(fdr_dev[1]) / (
-                n_local * np.asarray(fdr_dev[2]))
+            fdr_vals = fetch(fdr_dev[1]) / (n_local * fetch(fdr_dev[2]))
         else:
-            fdr_vals = np.asarray(fdr_dev[1])
+            fdr_vals = fetch(fdr_dev[1])
 
         # num_detected[t] = #{|ncorr| > t} (reference ``:105-108``), as one
         # sort + searchsorted instead of a 400-threshold host loop (the
@@ -368,7 +368,7 @@ def _compute_nam_arrays_and_reindex(data, y, sid_name, batches, covs,
     nam_f = jnp.take(arrays.nam, jnp.asarray(row_idx), axis=0)
 
     stds = moments.colstd(nam_f, ddof=1, axis=0)
-    zero_var = np.asarray(stds == 0)
+    zero_var = fetch(stds) == 0
     nz_ix = np.flatnonzero(kept)
     kept[nz_ix[np.nonzero(zero_var)[0]]] = False
     cells = arrays.cells

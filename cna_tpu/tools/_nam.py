@@ -33,6 +33,7 @@ import pandas as pd
 from ..core.results import Result
 from ..graph.ell import EllGraph, from_scipy
 from ..ops import linalg, moments, spmm
+from ..parallel.dist import fetch
 from ._out import select_output
 
 _ELL_CACHE_KEY = "_cna_tpu_ell_graph"
@@ -346,7 +347,7 @@ class NamArrays:
     nsteps: int = 0
 
     def to_df(self) -> pd.DataFrame:
-        return pd.DataFrame(np.asarray(self.nam), index=self.samples,
+        return pd.DataFrame(fetch(self.nam), index=self.samples,
                             columns=self.cells)
 
 
@@ -546,7 +547,7 @@ def _batch_kurtosis(NAM, batches):
     (reference ``_nam.py:78-82``).  ``NAM``: DataFrame samples x cells."""
     uniq, ids, nb = _encode_batches(batches, NAM.index)
     arr = jnp.asarray(NAM.to_numpy())
-    return np.asarray(_batch_kurtosis_dev(arr, ids, nb))
+    return fetch(_batch_kurtosis_dev(arr, ids, nb))
 
 
 def _qc_nam_arrays(nam_arrays: NamArrays, batches: pd.Series, show_progress=False):
@@ -560,7 +561,7 @@ def _qc_nam_arrays(nam_arrays: NamArrays, batches: pd.Series, show_progress=Fals
         keep = np.repeat(True, nam_arrays.nam.shape[1])
         return nam_arrays, keep
 
-    kurt = np.asarray(_batch_kurtosis_dev(nam_arrays.nam, ids, nb))
+    kurt = fetch(_batch_kurtosis_dev(nam_arrays.nam, ids, nb))
     threshold = max(6, 2 * np.median(kurt))
     out("throwing out neighborhoods with batch kurtosis >=", threshold)
     keep = kurt < threshold
@@ -721,13 +722,13 @@ def _resid_nam(NAM, covs, batches, ridges=None, npcs=None, show_progress=False):
     res._dev = Result(samples=samples, cells=cells, **dev)
     res.r = dev["r"]
     res.set_lazy("M", lambda: pd.DataFrame(
-        np.asarray(dev["m"]), index=samples, columns=samples))
+        fetch(dev["m"]), index=samples, columns=samples))
     res.set_lazy("namresid", lambda: pd.DataFrame(
-        np.asarray(dev["namresid"]), index=samples, columns=cells))
+        fetch(dev["namresid"]), index=samples, columns=cells))
     res.set_lazy("namresid_sampleXpc", lambda: pd.DataFrame(
-        np.asarray(dev["u"]), index=samples, columns=pcs))
+        fetch(dev["u"]), index=samples, columns=pcs))
     res.set_lazy("namresid_nbhdXpc", lambda: pd.DataFrame(
-        np.asarray(dev["v"]), index=cells, columns=pcs))
+        fetch(dev["v"]), index=cells, columns=pcs))
     res.set_lazy("namresid_svs", lambda: pd.Series(
         np.asarray(dev["svs"]), index=pcs)[:npcs])
     res.set_lazy("namresid_varexp", lambda: pd.Series(
