@@ -1,18 +1,35 @@
 """Benchmark driver: end-to-end CNA association on TPU vs the reference.
 
 Emits ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extras": {...}}
 
-Workload (BASELINE.json config-3 scale, sized to stay CPU-baselineable):
-a synthetic multi-sample dataset, kNN graph built on device, then the
-full association pipeline (NAM diffusion + residualization + 1000-
+Workload: a synthetic multi-sample dataset, kNN graph built on device,
+then the full association pipeline (NAM diffusion + residualization +
 permutation global test + local FDR test).  ``value`` is cna_tpu's warm
 end-to-end association wall-clock; ``vs_baseline`` is the speedup over
 the pinned reference implementation (scipy/numpy, float64) running the
-identical association on the identical graph on this host's CPU.
+identical association on the identical graph on this host's CPU —
+median of ``CNA_BENCH_REF_REPS`` runs (host CPU timings here vary
+run-to-run; see CLAUDE.md).
 
-Scale knobs via env: CNA_BENCH_CELLS (total cells, default 100000),
-CNA_BENCH_NNULL (default 1000).
+Also reported (extras + stderr): cold/warm graph-build wall-clock (the
+cold number absorbs the tunnel's one-time first-transfer setup and the
+per-program compiles; the warm number is the steady-state cost of
+building a graph for a new dataset in an existing process) and
+per-phase device timings.
+
+Scale knobs via env:
+  CNA_BENCH_CELLS  total cells                      (default 100000)
+  CNA_BENCH_NNULL  permutations                     (default 1000)
+  CNA_BENCH_REF_REPS reference timing repetitions   (default 3)
+  CNA_BENCH_REF_CELLS reference run size            (default = CELLS)
+    When the reference would be intractable at CELLS (e.g. the 1M-cell
+    north-star config), set a smaller REF_CELLS; the speedup is then
+    reported against a linear-in-cells extrapolation of the measured
+    reference time (diffusion, the local test and the NAM matmuls are
+    all O(cells); the permutation F-test loop is cells-independent, so
+    linear extrapolation *understates* the true reference time and the
+    reported speedup is conservative).
 """
 
 from __future__ import annotations
@@ -30,27 +47,28 @@ def _setup_cache():
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    # overlap the tunnel's one-time first-d2h setup (~70s) with data prep
+    # overlap the tunnel's one-time first-d2h setup (~60-200s) with data
+    # prep and the CPU reference runs
     from cna_tpu import config as cna_config
 
     cna_config.warmup_transfers_async()
 
 
-def _build_workload(n_cells, n_samples, nnull):
-    import numpy as np
-
-    from cna_tpu import pp
+def _make_data(n_cells, n_samples, seed=0):
     from cna_tpu.data import synthetic_dataset
 
-    cells_per = n_cells // n_samples
-    d, samplem = synthetic_dataset(
-        n_samples=n_samples, cells_per_sample=cells_per, n_genes=50, seed=0)
+    return synthetic_dataset(
+        n_samples=n_samples, cells_per_sample=n_cells // n_samples,
+        n_genes=50, seed=seed)
+
+
+def _build_graph(d):
+    from cna_tpu import pp
+
     t0 = time.time()
     pp.pca(d, n_comps=20)
     pp.neighbors(d, n_neighbors=15)
-    graph_s = time.time() - t0
-    y = samplem["case"].astype(float)
-    return d, samplem, y, graph_s
+    return time.time() - t0
 
 
 def _run_cna_tpu(d, y, nnull, seed=0):
@@ -61,20 +79,30 @@ def _run_cna_tpu(d, y, nnull, seed=0):
     return time.time() - t0, p
 
 
-def _run_reference(d, y, nnull, seed=0):
+def _run_reference(d, y, nnull, reps, seed=0):
+    """Median-of-``reps`` reference association wall-clock on this CPU."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    import statistics
+
     from ref_harness import load_reference, ref_data_from
 
     cna_ref = load_reference()
     rd = ref_data_from(d, sid_cols=("id",))
-    t0 = time.time()
-    p = cna_ref.tl.association(rd, y, "id", Nnull=nnull, seed=seed)
-    return time.time() - t0, p
+    times, p = [], None
+    for rep in range(reps):
+        t0 = time.time()
+        p = cna_ref.tl.association(rd, y, "id", Nnull=nnull, seed=seed)
+        times.append(time.time() - t0)
+        print(f"#   reference rep {rep + 1}/{reps}: {times[-1]:.1f}s",
+              file=sys.stderr)
+    return statistics.median(times), times, p
 
 
 def main():
     n_cells = int(os.environ.get("CNA_BENCH_CELLS", 100_000))
     nnull = int(os.environ.get("CNA_BENCH_NNULL", 1000))
+    ref_reps = int(os.environ.get("CNA_BENCH_REF_REPS", 3))
+    ref_cells = int(os.environ.get("CNA_BENCH_REF_CELLS", n_cells))
     n_samples = 50
 
     _setup_cache()
@@ -82,28 +110,68 @@ def main():
 
     warnings.filterwarnings("ignore")
 
-    d, samplem, y, graph_s = _build_workload(n_cells, n_samples, nnull)
-    print(f"# graph build ({n_cells} cells): {graph_s:.1f}s", file=sys.stderr)
+    err = lambda *a: print(*a, file=sys.stderr, flush=True)
 
-    # cold run (compilation) + warm run (steady state)
+    # ---- reference first: its CPU-bound runs overlap the tunnel's
+    # one-time first-transfer setup that the TPU cold numbers absorb ----
+    d_ref, samplem_ref = _make_data(ref_cells, n_samples)
+    graph_ref_s = _build_graph(d_ref)
+    y_ref = samplem_ref["case"].astype(float)
+    ref_nnull = min(nnull, 10_000)
+    ref_s, ref_times, p_ref = _run_reference(d_ref, y_ref, ref_nnull,
+                                             ref_reps)
+    ref_scale = 1.0
+    if ref_cells != n_cells:
+        ref_scale = n_cells / ref_cells
+        err(f"# reference measured at {ref_cells} cells; extrapolating "
+            f"x{ref_scale:.1f} (linear in cells, conservative)")
+    ref_extrap_s = ref_s * ref_scale
+    err(f"# reference assoc (CPU f64, {ref_cells} cells, {ref_nnull} perms): "
+        f"median {ref_s:.1f}s of {['%.1f' % t for t in ref_times]} "
+        f"(p={p_ref:.4g})")
+
+    # ---- cna_tpu ----
+    if ref_cells == n_cells:
+        d, samplem = d_ref, samplem_ref
+        graph_cold_s = graph_ref_s
+    else:
+        d, samplem = _make_data(n_cells, n_samples)
+        graph_cold_s = _build_graph(d)
+    y = samplem["case"].astype(float)
+    err(f"# graph build ({n_cells} cells): cold {graph_cold_s:.1f}s "
+        "(incl compile + one-time tunnel setup)")
+
+    # warm graph build: new dataset, same process (compiles cached)
+    d2, _ = _make_data(n_cells, n_samples, seed=1)
+    graph_warm_s = _build_graph(d2)
+    err(f"# graph build ({n_cells} cells): warm {graph_warm_s:.1f}s")
+
     cold_s, p_cold = _run_cna_tpu(d, y, nnull, seed=0)
     from cna_tpu.utils import profiling
 
     prof = profiling.enable_profiling()
     warm_s, p_warm = _run_cna_tpu(d, y, nnull, seed=1)
-    print(f"# cna_tpu assoc: cold {cold_s:.1f}s warm {warm_s:.1f}s "
-          f"(p={p_warm:.4g})", file=sys.stderr)
+    err(f"# cna_tpu assoc: cold {cold_s:.1f}s warm {warm_s:.1f}s "
+        f"(p={p_warm:.4g})")
     prof.report(out=lambda *a: print("#", *a, file=sys.stderr))
 
-    ref_s, p_ref = _run_reference(d, y, nnull, seed=0)
-    print(f"# reference assoc (CPU f64): {ref_s:.1f}s (p={p_ref:.4g})",
-          file=sys.stderr)
-
+    extras = {
+        "graph_build_cold_s": round(graph_cold_s, 3),
+        "graph_build_warm_s": round(graph_warm_s, 3),
+        "assoc_cold_s": round(cold_s, 3),
+        "ref_median_s": round(ref_s, 3),
+        "ref_times_s": [round(t, 3) for t in ref_times],
+        "ref_cells": ref_cells,
+        "ref_nnull": ref_nnull,
+        "ref_extrapolated_s": round(ref_extrap_s, 3),
+        "e2e_warm_s": round(graph_warm_s + warm_s, 3),
+    }
     print(json.dumps({
         "metric": f"association_e2e_{n_cells // 1000}k_cells_{nnull}perm",
         "value": round(warm_s, 3),
         "unit": "s",
-        "vs_baseline": round(ref_s / warm_s, 3),
+        "vs_baseline": round(ref_extrap_s / warm_s, 3),
+        "extras": extras,
     }))
 
 

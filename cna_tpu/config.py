@@ -80,6 +80,15 @@ def enable_debug_nans(enable: bool = True) -> None:
     jax.config.update("jax_debug_nans", enable)
 
 
+def enable_runtime_checks(enable: bool = True) -> None:
+    """Toggle the always-on finiteness post-conditions on association
+    outputs (``utils.checks.assert_finite``).  Default on — the checked
+    quantities are tiny host arrays, so the cost is microseconds."""
+    from .utils import checks
+
+    checks.enable_runtime_checks(enable)
+
+
 def enable_compilation_cache(cache_dir: str = ".jax_cache",
                              min_compile_seconds: float = 0.5) -> None:
     """Persist compiled executables across processes.  First compiles on

@@ -94,8 +94,15 @@ def column_r2_counted(a, b, n_true, ddof=1):
     cov = sab / n - ma * mb
     var_a = (saa - n * ma * ma) / (n - ddof)
     var_b = (sbb - n * mb * mb) / (n - ddof)
-    r = cov / jnp.sqrt(var_a) / jnp.sqrt(var_b)
-    return r * r
+    # zero-variance columns (e.g. the all-zero "previous state" on the
+    # first diffusion step) would yield 0/0 = NaN, as the reference's R()
+    # does; emit +inf instead so compiled programs stay NaN-free under
+    # jax_debug_nans (real R^2 <= 1, so the sentinel is unambiguous —
+    # the diagnostics printer renders it back as nan for UX parity)
+    denom = var_a * var_b
+    safe = denom > 0
+    r2 = (cov * cov) / jnp.where(safe, denom, 1.0)
+    return jnp.where(safe, r2, jnp.inf)
 
 
 def grouped_mean(x, group_ids, num_groups):

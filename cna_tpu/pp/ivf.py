@@ -108,8 +108,35 @@ def _score_slots(x_sorted, slot_starts, slot_counts, probe_starts,
     return negd, idx
 
 
+def measured_recall(x, indices, k, sample=512, seed=0):
+    """Recall@k of ``indices`` against exact kNN on a random query sample.
+
+    Exact truth for the sampled queries is one blocked (sample x N)
+    distance matmul on device — cheap relative to the index build.
+    """
+    from .knn import _knn_query_block
+
+    n = x.shape[0]
+    rng = np.random.RandomState(seed)
+    m = min(sample, n)
+    q_ix = rng.choice(n, m, replace=False)
+    key_block = 8192
+    nkb = -(-n // key_block)
+    x_dev = jnp.asarray(x)
+    x_pad = jnp.pad(x_dev, ((0, nkb * key_block - n), (0, 0)))
+    sq = jnp.sum(x_pad * x_pad, axis=1)
+    _, true_idx = _knn_query_block(x_dev[jnp.asarray(q_ix)], x_pad, sq, k,
+                                   key_block, n)
+    true_idx = np.asarray(true_idx)
+    hits = 0
+    for row, truth in zip(indices[q_ix], true_idx):
+        hits += len(np.intersect1d(row, truth, assume_unique=False))
+    return hits / (m * k)
+
+
 def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
-            kmeans_sample=262_144, slot_rows=None, seed=0):
+            kmeans_sample=262_144, slot_rows=None, seed=0,
+            min_recall=0.9, recall_sample=512):
     """Approximate self-kNN via an on-device IVF-flat index.
 
     Returns (indices (N, k) int32, distances (N, k) float32) sorted by
@@ -117,12 +144,15 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
     of ``knn_search``).
 
     Recall depends on the data's metric structure (true of every ANN
-    index): ~0.96 measured at 100k cells on synthetic manifolds, ~0.9 at
-    1M on the same generator (at that density the off-manifold noise
-    dominates neighbor distances — an expander regime where raising
-    ``nprobe`` plateaus; measured invariant from nprobe 16 to 64).  Real
-    atlas embeddings have far higher neighborhood SNR.  Use
-    ``method='pallas'`` (exact, O(N^2)) if in doubt.
+    index).  Rather than documenting a caveat, the index MEASURES it:
+    after scoring, recall@k is estimated on ``recall_sample`` random
+    queries against the exact answer (one blocked distance matmul);
+    while it is below ``min_recall`` the search re-runs with doubled
+    ``nprobe``, up to probing every cluster (recall then limited only
+    by ``approx_max_k``'s ~0.99 within the probed set).  A warning is
+    raised if the floor is unreachable.  Set ``min_recall=None`` to
+    disable the measurement.  Use ``method='pallas'`` (exact, O(N^2))
+    if in doubt.
     """
     x = np.asarray(points, dtype=np.float32)
     n, d = x.shape
@@ -167,77 +197,108 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
     slot_cluster = np.asarray(slot_cluster, np.int32)
     s = len(slot_starts)
 
-    # --- 3. per-cluster probe lists -> padded per-slot slot lists ---
+    # cluster-to-cluster distances (nprobe-independent)
     cn = np.asarray(cent)
     cd2 = ((cn[:, None, :] - cn[None, :, :]) ** 2).sum(-1) if c <= 1024 \
         else None
     if cd2 is None:
         cc = np.asarray(jnp.sum(cent * cent, axis=1))
         cd2 = cc[:, None] + cc[None, :] - 2.0 * np.asarray(cent @ cent.T)
-    probe_c = np.argsort(cd2, axis=1)[:, :min(nprobe, c)]  # (C, P) incl self
+    probe_order = np.argsort(cd2, axis=1)  # (C, C) incl self first
 
     slots_of_cluster = [[] for _ in range(c)]
     for si, ci in enumerate(slot_cluster):
         slots_of_cluster[ci].append(si)
-    max_slots = max(
-        sum(len(slots_of_cluster[cj]) for cj in probe_c[ci])
-        for ci in range(c))
+
     # dummy slot: start in the padded tail, count 0 -> -inf contributions.
     # NOTE: every (start, start+m) window must stay in bounds — XLA's
     # dynamic_slice CLAMPS out-of-range starts, which silently shifts the
     # window and misaligns queries with their output rows.
     dummy_start = n
-    probe_starts = np.full((s, max_slots), dummy_start, np.int32)
-    probe_counts = np.zeros((s, max_slots), np.int32)
-    for si in range(s):
-        ci = slot_cluster[si]
-        col = 0
-        for cj in probe_c[ci]:
-            for sj in slots_of_cluster[cj]:
-                probe_starts[si, col] = slot_starts[sj]
-                probe_counts[si, col] = slot_counts[sj]
-                col += 1
-
-    # --- 4. score ---
     n_rows = int(max(int(slot_starts.max()) if s else 0, dummy_start) + m)
     x_sorted = np.zeros((n_rows, d), np.float32)
     x_sorted[:n] = x[order]
-    chunk = max(1, min(s, int(2.2e8 // max(m * max_slots * m, 1)) or 1))
-    negd_s, idx_s = _score_slots(
-        jnp.asarray(x_sorted), jnp.asarray(slot_starts),
-        jnp.asarray(slot_counts), jnp.asarray(probe_starts),
-        jnp.asarray(probe_counts), k, m, chunk)
-    negd_s = np.asarray(negd_s)
-    idx_s = np.asarray(idx_s)
+    x_sorted_dev = jnp.asarray(x_sorted)
 
-    # --- 5. unsort back to input order ---
-    indices = np.zeros((n, k), np.int32)
-    dists = np.zeros((n, k), np.float32)
-    for si in range(s):
-        cnt = int(slot_counts[si])
-        if cnt == 0:
-            continue
-        rows_sorted = slot_starts[si] + np.arange(cnt)
-        rows_orig = order[rows_sorted]
-        indices[rows_orig] = order[np.clip(idx_s[si, :cnt], 0, n - 1)]
-        dists[rows_orig] = np.sqrt(np.maximum(-negd_s[si, :cnt], 0.0))
+    def _search(np_eff):
+        # --- 3. per-cluster probe lists -> padded per-slot slot lists ---
+        probe_c = probe_order[:, :np_eff]
+        max_slots = max(
+            sum(len(slots_of_cluster[cj]) for cj in probe_c[ci])
+            for ci in range(c))
+        probe_starts = np.full((s, max_slots), dummy_start, np.int32)
+        probe_counts = np.zeros((s, max_slots), np.int32)
+        for si in range(s):
+            ci = slot_cluster[si]
+            col = 0
+            for cj in probe_c[ci]:
+                for sj in slots_of_cluster[cj]:
+                    probe_starts[si, col] = slot_starts[sj]
+                    probe_counts[si, col] = slot_counts[sj]
+                    col += 1
 
-    # contract: self is the first neighbor at distance 0
-    self_col = indices == np.arange(n)[:, None]
-    has_self = self_col.any(axis=1)
-    # ensure self present (approx_max_k may rarely drop an exact tie)
-    indices[:, 0] = np.where(has_self, indices[:, 0], np.arange(n))
-    first = np.where(has_self, self_col.argmax(axis=1), 0)
-    rr = np.arange(n)
-    # swap self into column 0
-    tmp_i, tmp_d = indices[rr, first].copy(), dists[rr, first].copy()
-    indices[rr, first] = indices[:, 0]
-    dists[rr, first] = dists[:, 0]
-    indices[:, 0] = tmp_i
-    dists[:, 0] = np.where(has_self, tmp_d, 0.0)
-    dists[:, 0] = 0.0
-    # re-sort columns 1.. by distance (swap may have unordered them)
-    body_ord = np.argsort(dists[:, 1:], axis=1, kind="stable")
-    indices[:, 1:] = np.take_along_axis(indices[:, 1:], body_ord, axis=1)
-    dists[:, 1:] = np.take_along_axis(dists[:, 1:], body_ord, axis=1)
-    return indices, dists
+        # --- 4. score ---
+        chunk = max(1, min(s, int(2.2e8 // max(m * max_slots * m, 1)) or 1))
+        negd_s, idx_s = _score_slots(
+            x_sorted_dev, jnp.asarray(slot_starts),
+            jnp.asarray(slot_counts), jnp.asarray(probe_starts),
+            jnp.asarray(probe_counts), k, m, chunk)
+        negd_s = np.asarray(negd_s)
+        idx_s = np.asarray(idx_s)
+
+        # --- 5. unsort back to input order ---
+        indices = np.zeros((n, k), np.int32)
+        dists = np.zeros((n, k), np.float32)
+        for si in range(s):
+            cnt = int(slot_counts[si])
+            if cnt == 0:
+                continue
+            rows_sorted = slot_starts[si] + np.arange(cnt)
+            rows_orig = order[rows_sorted]
+            indices[rows_orig] = order[np.clip(idx_s[si, :cnt], 0, n - 1)]
+            dists[rows_orig] = np.sqrt(np.maximum(-negd_s[si, :cnt], 0.0))
+
+        # contract: self is the first neighbor at distance 0
+        self_col = indices == np.arange(n)[:, None]
+        has_self = self_col.any(axis=1)
+        # ensure self present (approx_max_k may rarely drop an exact tie)
+        indices[:, 0] = np.where(has_self, indices[:, 0], np.arange(n))
+        first = np.where(has_self, self_col.argmax(axis=1), 0)
+        rr = np.arange(n)
+        # swap self into column 0
+        tmp_i, tmp_d = indices[rr, first].copy(), dists[rr, first].copy()
+        indices[rr, first] = indices[:, 0]
+        dists[rr, first] = dists[:, 0]
+        indices[:, 0] = tmp_i
+        dists[:, 0] = np.where(has_self, tmp_d, 0.0)
+        dists[:, 0] = 0.0
+        # re-sort columns 1.. by distance (swap may have unordered them)
+        body_ord = np.argsort(dists[:, 1:], axis=1, kind="stable")
+        indices[:, 1:] = np.take_along_axis(indices[:, 1:], body_ord, axis=1)
+        dists[:, 1:] = np.take_along_axis(dists[:, 1:], body_ord, axis=1)
+        return indices, dists
+
+    # --- 6. search, measure recall, escalate nprobe until the floor ---
+    np_eff = int(min(nprobe, c))
+    while True:
+        indices, dists = _search(np_eff)
+        if min_recall is None:
+            return indices, dists
+        rec = measured_recall(x, indices, k, sample=recall_sample,
+                              seed=seed)
+        if rec >= min_recall:
+            return indices, dists
+        if np_eff >= c:
+            import warnings
+
+            warnings.warn(
+                f"pp.ivf: measured recall@{k} = {rec:.3f} < min_recall = "
+                f"{min_recall} even when probing every cluster "
+                "(the residual loss is approx_max_k's ~0.99 within the "
+                "probed set). Use method='pallas' (exact) if this "
+                "matters for your analysis.")
+            return indices, dists
+        new_np = int(min(2 * np_eff, c))
+        print(f"# pp.ivf: measured recall@{k} = {rec:.3f} < {min_recall}; "
+              f"escalating nprobe {np_eff} -> {new_np}")
+        np_eff = new_np

@@ -42,9 +42,24 @@ def _fit_ab(spread=1.0, min_dist=0.1):
     return float(params[0]), float(params[1])
 
 
-def spectral_init(conn, n_components=2, seed=0):
-    """Spectral layout: leading eigenvectors of the normalized graph
-    Laplacian (host-side sparse eigensolver; small and done once)."""
+def spectral_init(conn, n_components=2, seed=0, tol=1e-4, maxiter=None):
+    """Spectral layout: the ``n_components`` smallest non-trivial
+    eigenvectors of the normalized graph Laplacian.
+
+    Solver: LOBPCG (block, preconditioner-free — the normalized
+    Laplacian has unit diagonal, so the natural Jacobi preconditioner is
+    the identity), seeded with the known nullspace direction
+    ``D^{1/2} 1`` plus a deterministic random block.  This replaces
+    ARPACK ``eigsh(which='SM')``, which without shift-invert is
+    notoriously slow/non-convergent at atlas scale.  Falls back to a
+    random layout ONLY on solver error, with a loud warning — never
+    silently.
+
+    Returns (embedding (N, n_components) float32, mode string:
+    'spectral' | 'spectral-unconverged' | 'random').
+    """
+    import warnings
+
     import scipy.sparse as sp
     import scipy.sparse.linalg as spl
 
@@ -52,18 +67,45 @@ def spectral_init(conn, n_components=2, seed=0):
     deg = np.asarray(conn.sum(axis=1)).ravel()
     deg[deg == 0] = 1
     d_inv_sqrt = sp.diags(1.0 / np.sqrt(deg))
-    lap = sp.identity(n) - d_inv_sqrt @ conn @ d_inv_sqrt
+    lap = (sp.identity(n) - d_inv_sqrt @ conn @ d_inv_sqrt).tocsr()
     k = n_components + 1
+    if maxiter is None:
+        maxiter = 200
+    mode = "spectral"
     try:
-        v0 = np.random.RandomState(seed).uniform(-1, 1, n)  # deterministic start
-        _, vecs = spl.eigsh(lap, k=k, which="SM", tol=1e-4, maxiter=n * 5,
-                            v0=v0)
+        rng = np.random.RandomState(seed)
+        x0 = np.empty((n, k))
+        x0[:, 0] = np.sqrt(deg)  # exact nullspace of the normalized L
+        x0[:, 1:] = rng.standard_normal((n, k - 1))
+        x0 /= np.linalg.norm(x0, axis=0, keepdims=True)
+        with warnings.catch_warnings():
+            # lobpcg warns about its own exhausted-maxiter condition; we
+            # quantify convergence ourselves via the residuals below
+            warnings.simplefilter("ignore")
+            vals, vecs = spl.lobpcg(lap, x0, tol=tol, maxiter=maxiter,
+                                    largest=False)
+        order = np.argsort(vals)
+        vals, vecs = vals[order], vecs[:, order]
+        resid = np.linalg.norm(lap @ vecs - vecs * vals[None, :], axis=0)
+        if np.any(resid[1:k] > 1e-2):
+            mode = "spectral-unconverged"
+            warnings.warn(
+                "pp.umap spectral initialization did not fully converge "
+                f"(residual norms {resid[1:k]}); using the partially "
+                "converged eigenvectors, which still beat a random "
+                "layout. Consider raising maxiter/tol.")
         emb = vecs[:, 1:k]
-    except Exception:
+    except Exception as err:  # solver failure, not slow convergence
+        warnings.warn(
+            "pp.umap spectral initialization FAILED "
+            f"({type(err).__name__}: {err}); falling back to a RANDOM "
+            "initial layout. The embedding will likely be poor — check "
+            "the connectivity graph.")
+        mode = "random"
         rng = np.random.RandomState(seed)
         emb = rng.uniform(-10, 10, (n, n_components))
-    expansion = 10.0 / np.abs(emb).max()
-    return (emb * expansion).astype(np.float32)
+    expansion = 10.0 / max(np.abs(emb).max(), 1e-12)
+    return (emb * expansion).astype(np.float32), mode
 
 
 @partial(jax.jit, static_argnames=("n_epochs", "negative_sample_rate"))
@@ -141,7 +183,8 @@ def umap(data, n_components=2, n_epochs=None, min_dist=0.1, spread=1.0,
     eps_edge = w.max() / w[keep]
 
     a, b = _fit_ab(spread=spread, min_dist=min_dist)
-    pos0 = spectral_init(conn, n_components=n_components, seed=seed)
+    pos0, init_mode = spectral_init(conn, n_components=n_components,
+                                    seed=seed)
 
     pos = _optimize_layout(
         jnp.asarray(pos0), jnp.asarray(heads), jnp.asarray(tails),
@@ -149,4 +192,9 @@ def umap(data, n_components=2, n_epochs=None, min_dist=0.1, spread=1.0,
         a, b, n_epochs=int(n_epochs),
         negative_sample_rate=negative_sample_rate)
     data.obsm[key_added] = np.asarray(pos)
+    data.uns["umap"] = {
+        "params": {"a": a, "b": b, "n_epochs": int(n_epochs),
+                   "min_dist": min_dist, "spread": spread, "seed": seed},
+        "init": init_mode,
+    }
     return data.obsm[key_added]

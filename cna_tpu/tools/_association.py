@@ -26,6 +26,7 @@ from ..core.results import Result
 from ..ops import fdr as fdr_ops
 from ..ops import ftest, moments, permutations
 from ..parallel.dist import fetch, fetch_many
+from ..utils import checks
 from ._nam import NamArrays, _resid_nam, nam, nam_arrays
 from ._out import select_output
 from ..utils.profiling import global_profiler
@@ -209,6 +210,12 @@ def _association(NAMsvd, NAMresid, M, r, y, batches, donorids, ks=None,
         k_dev, p_dev, r2_dev, ncorrs_dev, nullminps_dev, nullr2s_dev,
         yhat, ycond, beta_full, r2_perpc_full)
     k, p, r2 = int(k_h), float(p_h), float(r2_h)
+
+    # sanitizer post-conditions (SURVEY §5.2): a NaN/Inf in any of these
+    # is always a pipeline bug or degenerate input — fail loudly here
+    # rather than writing poison into data.obs
+    checks.assert_finite(minp=p_h, r2=r2_h, ncorrs=ncorrs,
+                         nullminps=nullminps, nullr2s=nullr2s)
 
     if k == max(ks):
         warnings.warn(

@@ -220,10 +220,12 @@ def _adaptive_loop(s0, c_counts, step, maxnsteps, nsteps, n_cells):
     invariant to the storage/shard layout.
 
     Returns (s_final, steps_taken, medkurt trail, R² trail) — the trails
-    are NaN-padded (maxnsteps,) buffers for post-hoc diagnostics printing.
+    are (maxnsteps,) buffers for post-hoc diagnostics printing; entries
+    past ``steps_taken`` hold an inf sentinel (inf, not NaN, so CI runs
+    under ``jax_debug_nans`` stay clean).
     """
     dtype = s0.dtype
-    nan = jnp.asarray(jnp.nan, dtype)
+    nan = jnp.asarray(jnp.inf, dtype)
 
     def step_stats(s, old_s):
         s_new = step(s)
@@ -231,7 +233,13 @@ def _adaptive_loop(s0, c_counts, step, maxnsteps, nsteps, n_cells):
         kurt = moments.kurtosis(snormed, axis=1)[:n_cells]
         medkurt = jnp.median(kurt)
         r2 = moments.column_r2_counted(s_new, old_s, n_cells)
-        r2p20 = jnp.percentile(r2, 20)
+        # the kernel returns +inf for zero-variance columns (NaN-free
+        # under jax_debug_nans); numpy's percentile would be NaN if any
+        # column were NaN, so propagate the sentinel the same way
+        bad = jnp.any(jnp.isinf(r2))
+        r2p20 = jnp.where(
+            bad, jnp.inf,
+            jnp.percentile(jnp.where(jnp.isinf(r2), 2.0, r2), 20))
         return s_new, medkurt, r2p20
 
     def cond(carry):
@@ -519,7 +527,11 @@ def _print_diffusion_trail(out, mk_buf, r2_buf, steps_taken, nsteps,
     """Print the per-step kurtosis/R² diagnostic trail (the reference's
     documented UX — its demo tells users to read this, ``_nam.py:62-66``)."""
     mk = np.asarray(mk_buf)
-    r2 = np.asarray(r2_buf)
+    # render the in-kernel zero-variance sentinel (+inf) as the nan the
+    # reference prints for the same situation (R() against the all-zero
+    # initial state on step 1, reference ``_nam.py:56-61``)
+    r2 = np.asarray(r2_buf).copy()
+    r2[np.isinf(r2)] = np.nan
     for i in range(steps_taken):
         out("\ttaking step", i + 1)
         out("\tmedian kurtosis:", mk[i] + 3)
@@ -614,10 +626,11 @@ def _ridge_sweep(nam_c, c, ridges, batch_ids, n_batch_cols, num_batches):
     ``M = I - C (C'C + ridge*n*L)^-1 C'``, apply it cumulatively, and
     stop once the median batch kurtosis of the running NAM is <= 6.
 
-    Returns (nam_resid, M_last, n_ridges_used, median-kurtosis trail).
+    Returns (nam_resid, M_last, n_ridges_used, median-kurtosis trail) —
+    trail entries past the exit hold an inf sentinel (debug_nans-clean).
     """
     nridges = ridges.shape[0]
-    nan = jnp.asarray(jnp.nan, nam_c.dtype)
+    nan = jnp.asarray(jnp.inf, nam_c.dtype)
 
     def cond(carry):
         _, _, i, done, _ = carry

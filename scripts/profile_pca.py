@@ -16,7 +16,8 @@ cna_config.warmup_transfers_async()
 t0 = stamp("warmup kickoff", t0)
 
 import jax.numpy as jnp
-from cna_tpu.pp import pca as pcamod
+import importlib
+pcamod = importlib.import_module("cna_tpu.pp.pca")
 
 X = np.random.RandomState(0).randn(100_000, 50).astype(np.float32)
 t0 = stamp("make X", t0)

@@ -52,3 +52,51 @@ def test_fuzzy_union_edges_match_scipy_formula():
     got = sp.csr_matrix((v, (r, c)), shape=(n, n))
     got.eliminate_zeros()
     assert (abs(want - got)).nnz == 0
+
+
+def test_spectral_init_matches_eigsh():
+    """LOBPCG spectral init reproduces ARPACK's smallest non-trivial
+    eigenvectors of the normalized Laplacian (up to sign)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    from cna_tpu.pp.umap import spectral_init
+
+    # ring-of-clusters graph with a clean spectral structure
+    rng = np.random.RandomState(0)
+    n = 1500
+    pts = np.concatenate([
+        rng.randn(n // 3, 5) + 6 * np.eye(5)[i][None, :] for i in range(3)])
+    from cna_tpu.pp.knn import knn_search
+    from cna_tpu.pp.neighbors import fuzzy_connectivities
+
+    idx, dists = knn_search(pts, 10)
+    conn = fuzzy_connectivities(idx, dists)
+
+    emb, mode = spectral_init(conn, n_components=2, seed=0)
+    assert mode == "spectral"
+
+    deg = np.asarray(conn.sum(axis=1)).ravel()
+    deg[deg == 0] = 1
+    dis = sp.diags(1.0 / np.sqrt(deg))
+    lap = (sp.identity(conn.shape[0]) - dis @ conn @ dis).tocsr()
+    vals, _ = spl.eigsh(lap, k=3, sigma=0.0, which="LM")
+    ref_vals = np.sort(vals)[1:3]
+
+    # the returned directions are converged eigenvectors: tiny residual
+    # and Rayleigh quotients matching ARPACK's eigenvalues.  (The
+    # eigenvectors themselves are only defined up to rotation when the
+    # cluster structure makes the low eigenvalues nearly degenerate, so
+    # compare the invariants, not the vectors.)
+    v = emb.astype(np.float64)
+    v /= np.linalg.norm(v, axis=0, keepdims=True)
+    rq = np.einsum("ij,ij->j", v, lap @ v)
+    resid = np.linalg.norm(lap @ v - v * rq[None, :], axis=0)
+    assert np.all(resid < 1e-2), resid
+    assert np.all(rq < ref_vals[-1] + 1e-3), (rq, ref_vals)
+
+
+def test_umap_records_spectral_init(demo):
+    d, _ = demo
+    pp.umap(d, n_epochs=10, seed=1)
+    assert d.uns["umap"]["init"] == "spectral"
