@@ -90,11 +90,19 @@ def smooth_knn_dist(dists, target, n_iter=64):
 
 
 @jax.jit
-def membership_strengths(dists, rho, sigma):
-    """Directed edge weights exp(-(d - rho)+ / sigma); self edges get 0."""
+def membership_strengths(dists, rho, sigma, indices=None):
+    """Directed edge weights exp(-(d - rho)+ / sigma); self edges get 0.
+
+    The self edge is identified by INDEX (``indices[i, j] == i``), as in
+    umap-learn — with duplicate points the self entry can tie-break into
+    any distance-0 column, not necessarily column 0.  When ``indices``
+    is omitted, column 0 is assumed to be self (true for distinct
+    points, the common case)."""
     w = jnp.exp(-jnp.maximum(dists - rho[:, None], 0.0) / sigma[:, None])
-    # column 0 is the self edge (distance 0) — excluded as in umap-learn
-    return w.at[:, 0].set(0.0)
+    if indices is None:
+        return w.at[:, 0].set(0.0)
+    self_edge = indices == jnp.arange(dists.shape[0], dtype=indices.dtype)[:, None]
+    return jnp.where(self_edge, 0.0, w)
 
 
 def _fuzzy_union_edges(indices, w):
@@ -144,7 +152,8 @@ def fuzzy_connectivities(indices, dists):
     n, k = indices.shape
     d = jnp.asarray(dists)
     rho, sigma = smooth_knn_dist(d, jnp.log2(jnp.asarray(float(k))))
-    w = np.asarray(membership_strengths(d, rho, sigma))
+    w = np.asarray(membership_strengths(
+        d, rho, sigma, jnp.asarray(np.asarray(indices, dtype=np.int32))))
 
     rows, cols, vals = _fuzzy_union_edges(np.asarray(indices), w)
     result = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))

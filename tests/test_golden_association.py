@@ -142,16 +142,32 @@ def test_obs_writeback_matches(demo, ref):
 
 
 def test_jax_native_permutations_distributional(demo, ref):
-    """The JAX permutation path should give a p-value consistent with the
-    reference's within permutation noise."""
+    """The JAX permutation engine must draw nulls from the same
+    distribution as the reference's numpy engine.  The global p on the
+    demo data sits at the permutation floor (useless for comparison), so
+    compare the *null min-p samples themselves*: a two-sample KS test
+    between the reference's nullminps and ours, plus matching null-r2
+    moments.  Both pipelines share golden-equal U/svs/M, so any
+    distributional difference isolates the permutation stream."""
+    import scipy.stats as st
+
     d, samplem = demo
     cna_ref, rd = ref
     y = samplem["case"].astype(float)
-    p_ref = cna_ref.tl.association(rd, y, "id", Nnull=500, seed=3)
-    p_tpu = cna_tpu.tl.association(d, y, "id", Nnull=500, seed=3)
-    # both should be strongly significant on the demo data
-    se = np.sqrt(max(p_ref, p_tpu) / 500) + 1 / 500
-    assert abs(p_ref - p_tpu) <= 5 * se + 0.02
+    res_ref = cna_ref.tl.association(rd, y, "id", Nnull=500, seed=3,
+                                     return_full=True)
+    res_tpu = cna_tpu.tl.association(d, y, "id", Nnull=500, seed=3,
+                                     return_full=True)
+    ks = st.ks_2samp(np.asarray(res_ref.nullminps),
+                     np.asarray(res_tpu.nullminps))
+    assert ks.pvalue > 1e-3, (ks.statistic, ks.pvalue)
+    # second channel: the null r2 distribution's first two moments
+    assert abs(res_ref.nullr2_mean - res_tpu.nullr2_mean) < \
+        6 * res_ref.nullr2_std / np.sqrt(500)
+    assert 0.7 < res_ref.nullr2_std / res_tpu.nullr2_std < 1.4
+    # and the headline decision agrees
+    se = np.sqrt(max(res_ref.p, res_tpu.p) / 500) + 1 / 500
+    assert abs(res_ref.p - res_tpu.p) <= 5 * se
 
 
 def test_association_low_sample_size_gate(demo, ref):

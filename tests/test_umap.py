@@ -54,6 +54,151 @@ def test_fuzzy_union_edges_match_scipy_formula():
     assert (abs(want - got)).nnz == 0
 
 
+def _umap_learn_smooth_knn_dist(distances, k, n_iter=64, local_connectivity=1.0,
+                                bandwidth=1.0):
+    """Independent per-row reimplementation of umap-learn's
+    ``smooth_knn_dist`` semantics (umap/umap_.py), written scalar-style
+    from the published algorithm: per-point bisection for sigma with
+    target ``log2(k) * bandwidth``, rho by the local_connectivity
+    interpolation rule, and the MIN_K_DIST_SCALE floors.
+
+    umap-learn itself is not installable in this environment, so graph
+    parity (SURVEY §7 hard-part 5) is checked against this test-local
+    transliteration of the algorithm rather than a pickled fixture —
+    same spec, independently implemented, scalar loops vs our vmapped
+    bisection."""
+    smooth_k_tolerance = 1e-5
+    min_k_dist_scale = 1e-3
+    target = np.log2(k) * bandwidth
+    n = distances.shape[0]
+    rho = np.zeros(n)
+    result = np.zeros(n)
+    mean_distances = np.mean(distances)
+    for i in range(n):
+        lo, hi, mid = 0.0, np.inf, 1.0
+        ith = distances[i]
+        non_zero = ith[ith > 0.0]
+        if non_zero.shape[0] >= local_connectivity:
+            index = int(np.floor(local_connectivity))
+            interpolation = local_connectivity - index
+            if index > 0:
+                rho[i] = non_zero[index - 1]
+                if interpolation > smooth_k_tolerance:
+                    rho[i] += interpolation * (non_zero[index]
+                                               - non_zero[index - 1])
+            else:
+                rho[i] = interpolation * non_zero[0]
+        elif non_zero.shape[0] > 0:
+            rho[i] = np.max(non_zero)
+        for _ in range(n_iter):
+            psum = 0.0
+            for j in range(1, distances.shape[1]):
+                d = distances[i, j] - rho[i]
+                psum += np.exp(-(d / mid)) if d > 0 else 1.0
+            if np.abs(psum - target) < smooth_k_tolerance:
+                break
+            if psum > target:
+                hi = mid
+                mid = (lo + hi) / 2.0
+            else:
+                lo = mid
+                mid = mid * 2 if hi == np.inf else (lo + hi) / 2.0
+        result[i] = mid
+        if rho[i] > 0.0:
+            mean_ith = np.mean(ith)
+            if result[i] < min_k_dist_scale * mean_ith:
+                result[i] = min_k_dist_scale * mean_ith
+        else:
+            if result[i] < min_k_dist_scale * mean_distances:
+                result[i] = min_k_dist_scale * mean_distances
+    return rho, result
+
+
+def _umap_learn_membership(knn_indices, knn_dists, rho, sigma):
+    """Per-edge transliteration of umap-learn's
+    ``compute_membership_strengths`` (self edges 0, d<=rho edges 1)."""
+    n, k = knn_dists.shape
+    vals = np.zeros((n, k))
+    for i in range(n):
+        for j in range(k):
+            if knn_indices[i, j] == i:
+                continue
+            d = knn_dists[i, j] - rho[i]
+            vals[i, j] = np.exp(-d / sigma[i]) if d > 0 else 1.0
+    return vals
+
+
+def test_fuzzy_weights_match_umap_learn_spec():
+    """VERDICT r1 item 5: the produced connectivity weights match
+    umap-learn's algorithm — rho/sigma from its exact bisection and
+    interpolation rules, membership strengths, and the probabilistic
+    union — via an independent scalar transliteration (see helper
+    docstring for why not the library itself)."""
+    import scipy.sparse as sp
+
+    from cna_tpu.pp.knn import knn_search
+    from cna_tpu.pp.neighbors import (fuzzy_connectivities,
+                                      membership_strengths, smooth_knn_dist)
+
+    rng = np.random.RandomState(4)
+    # mixed geometry: two gaussian blobs + a duplicated point (rho = 0
+    # path) + a tight clique (unreachable-target path, sigma floor)
+    pts = np.concatenate([
+        rng.randn(150, 6),
+        rng.randn(150, 6) + 4.0,
+        np.zeros((1, 6)),          # duplicate of the origin region
+        np.full((5, 6), 20.0) + 1e-9 * rng.randn(5, 6),  # near-identical
+    ]).astype(np.float64)
+    k = 12
+    idx, dists = knn_search(pts, k, method="exact")
+    dists = np.asarray(dists, dtype=np.float64)
+
+    rho_ref, sig_ref = _umap_learn_smooth_knn_dist(dists, k)
+    rho_jax, sig_jax = smooth_knn_dist(dists, np.log2(k))
+    np.testing.assert_allclose(np.asarray(rho_jax), rho_ref, atol=1e-12)
+    # bisection endpoints may differ by one refinement step once inside
+    # the tolerance band; both sigmas satisfy the same fixed point
+    np.testing.assert_allclose(np.asarray(sig_jax), sig_ref,
+                               rtol=1e-3, atol=1e-8)
+
+    w_ref = _umap_learn_membership(np.asarray(idx), dists, rho_ref, sig_ref)
+    w_jax = np.asarray(membership_strengths(
+        dists, rho_jax, sig_jax, np.asarray(idx, dtype=np.int32)))
+    np.testing.assert_allclose(w_jax, w_ref, rtol=2e-3, atol=1e-6)
+
+    # full graph: probabilistic union of the directed strengths
+    n = pts.shape[0]
+    rows = np.repeat(np.arange(n), k)
+    a = sp.csr_matrix((w_ref.ravel(), (rows, np.asarray(idx).ravel())),
+                      shape=(n, n))
+    want = a + a.T - a.multiply(a.T)
+    got = fuzzy_connectivities(idx, dists)
+    assert abs(want - got).max() < 5e-3
+
+
+def test_smooth_knn_dist_fixed_point():
+    """Every non-floor sigma satisfies the defining equation
+    sum_j [d>rho ? exp(-(d-rho)/sigma) : 1] = log2(k)."""
+    from cna_tpu.pp.knn import knn_search
+    from cna_tpu.pp.neighbors import smooth_knn_dist
+
+    rng = np.random.RandomState(0)
+    pts = rng.randn(400, 8)
+    k = 15
+    _, dists = knn_search(pts, k, method="exact")
+    dists = np.asarray(dists, dtype=np.float64)
+    rho, sigma = map(np.asarray, smooth_knn_dist(dists, np.log2(k)))
+
+    d = np.maximum(dists[:, 1:] - rho[:, None], 0.0)
+    terms = np.where(d > 0, np.exp(-d / sigma[:, None]), 1.0)
+    psum = terms.sum(axis=1)
+    # rows where the floor clamped sigma are exempt (target unreachable)
+    floor = 1e-3 * dists.mean(axis=1)
+    free = sigma > floor * 1.0001
+    assert free.mean() > 0.95
+    np.testing.assert_allclose(psum[free], np.log2(k), atol=2e-5)
+
+
 def test_spectral_init_matches_eigsh():
     """LOBPCG spectral init reproduces ARPACK's smallest non-trivial
     eigenvectors of the normalized Laplacian (up to sign)."""
