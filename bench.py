@@ -103,7 +103,8 @@ def main():
     nnull = int(os.environ.get("CNA_BENCH_NNULL", 1000))
     ref_reps = int(os.environ.get("CNA_BENCH_REF_REPS", 3))
     ref_cells = int(os.environ.get("CNA_BENCH_REF_CELLS", n_cells))
-    n_samples = 50
+    # BASELINE config 5 (1M-cell atlas) specifies 200 samples
+    n_samples = int(os.environ.get("CNA_BENCH_SAMPLES", 50))
 
     _setup_cache()
     import warnings

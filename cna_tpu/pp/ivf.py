@@ -26,6 +26,7 @@ data (see tests and BENCH notes), comparable to pynndescent's defaults.
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 
 import jax
@@ -279,7 +280,17 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
         return indices, dists
 
     # --- 6. search, measure recall, escalate nprobe until the floor ---
-    np_eff = int(min(nprobe, c))
+    # two guards bound the escalation: (a) the per-slot score tensor is
+    # (nprobe_slots*m, m) — cap nprobe so it stays ~<=1.5 GB (full-probe
+    # at 1M cells would be ~6.5 GB and OOM a 16 GB chip); (b) expander-
+    # regime data (high-dim noise-dominated neighborhoods) plateaus in
+    # recall as nprobe grows (measured invariant, see BENCH notes) —
+    # stop when a doubling buys < 0.005 recall rather than burn a full
+    # scan chasing an unreachable floor.
+    np_mem_cap = max(int(1.5e9 / max(m * m * 4, 1)), 8)
+    np_max = int(min(c, np_mem_cap))
+    np_eff = int(min(nprobe, np_max))
+    prev_rec = -1.0
     while True:
         indices, dists = _search(np_eff)
         if min_recall is None:
@@ -288,17 +299,22 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
                               seed=seed)
         if rec >= min_recall:
             return indices, dists
-        if np_eff >= c:
+        plateaued = prev_rec >= 0 and (rec - prev_rec) < 0.005
+        if np_eff >= np_max or plateaued:
             import warnings
 
+            reason = ("recall has plateaued (expander-regime data)"
+                      if plateaued else
+                      f"nprobe is at its memory-bounded cap ({np_max} of "
+                      f"{c} clusters)")
             warnings.warn(
                 f"pp.ivf: measured recall@{k} = {rec:.3f} < min_recall = "
-                f"{min_recall} even when probing every cluster "
-                "(the residual loss is approx_max_k's ~0.99 within the "
-                "probed set). Use method='pallas' (exact) if this "
-                "matters for your analysis.")
+                f"{min_recall} and {reason}. Use method='pallas' (exact) "
+                "if this matters for your analysis.")
             return indices, dists
-        new_np = int(min(2 * np_eff, c))
+        new_np = int(min(2 * np_eff, np_max))
         print(f"# pp.ivf: measured recall@{k} = {rec:.3f} < {min_recall}; "
-              f"escalating nprobe {np_eff} -> {new_np}")
+              f"escalating nprobe {np_eff} -> {new_np}",
+              file=sys.stderr)
+        prev_rec = rec
         np_eff = new_np
