@@ -109,9 +109,13 @@ def _fuzzy_union_edges(indices, w):
     """Probabilistic-union symmetrization directly on kNN edge lists.
 
     Equivalent to scipy's ``A + A^T - A o A^T`` on the directed strength
-    matrix, but via a sorted-key reverse-edge lookup instead of sparse
-    matrix arithmetic — ~10x faster at atlas scale (the scipy route was
-    ~10 s at 100k cells and grows superlinearly with transpose+multiply).
+    matrix, but via ONE radix sort of undirected canonical edge keys
+    ``min(i,j)*n + max(i,j)``: a directed kNN edge appears at most once
+    per direction, so after sorting, mutual pairs are adjacent —
+    ``a + b - a*b`` is an adjacent-element merge, all sequential memory.
+    (The scipy route was ~10 s at 100k cells; a previous searchsorted
+    reverse-lookup was dominated by 15M cache-missing binary searches at
+    1M cells.)
 
     Returns COO arrays (rows, cols, vals) with each symmetric edge
     present in BOTH directions exactly once.
@@ -120,28 +124,48 @@ def _fuzzy_union_edges(indices, w):
     rows = np.repeat(np.arange(n, dtype=np.int64), k)
     cols = np.asarray(indices).ravel().astype(np.int64)
     vals = np.asarray(w).ravel()
-    nz = vals != 0
+    nz = vals != 0  # drops self edges (strength 0) and pruned entries
     rows, cols, vals = rows[nz], cols[nz], vals[nz]
 
-    key = rows * n + cols
-    order = np.argsort(key, kind="stable")
-    key_sorted = key[order]
-    vals_sorted = vals[order]
+    # canonical undirected key + a direction bit: after one sort, each
+    # undirected edge's (i->j) then (j->i) entries sit adjacent, with
+    # duplicate directed entries (COO semantics: they sum) in one run
+    dirbit = (rows > cols).astype(np.int64)
+    key = (np.minimum(rows, cols) * n + np.maximum(rows, cols)) * 2 + dirbit
+    order = np.argsort(key)
+    k_s = key[order]
+    v_s = vals[order]
 
-    rev_key = cols * n + rows
-    pos = np.searchsorted(key_sorted, rev_key)
-    pos_c = np.minimum(pos, len(key_sorted) - 1)
-    has_rev = (pos < len(key_sorted)) & (key_sorted[pos_c] == rev_key)
-    s_ji = np.where(has_rev, vals_sorted[pos_c], 0.0)
-    w_sym = vals + s_ji - vals * s_ji
+    m = len(k_s)
+    first = np.empty(m, dtype=bool)
+    first[0] = True
+    np.not_equal(k_s[1:], k_s[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    run_sum = np.add.reduceat(v_s, starts)  # per (edge, direction) weight
+    kk = k_s[starts] >> 1  # canonical undirected key per run
 
-    # mutual edges appear once per direction already; one-directional
-    # edges contribute their mirrored copy explicitly
-    one_way = ~has_rev
-    out_rows = np.concatenate([rows, cols[one_way]])
-    out_cols = np.concatenate([cols, rows[one_way]])
-    out_vals = np.concatenate([w_sym, w_sym[one_way]])
-    return (out_rows.astype(np.int32), out_cols.astype(np.int32), out_vals)
+    g = len(kk)
+    cfirst = np.empty(g, dtype=bool)
+    cfirst[0] = True
+    np.not_equal(kk[1:], kk[:-1], out=cfirst[1:])
+    cstarts = np.flatnonzero(cfirst)
+    csizes = np.diff(np.append(cstarts, g))
+    a = run_sum[cstarts]
+    b = np.where(csizes == 2, run_sum[np.minimum(cstarts + 1, g - 1)], 0.0)
+
+    ku = kk[cstarts]
+    ru = (ku // n).astype(np.int32)
+    cu = (ku % n).astype(np.int32)
+    # diagonal entries (weight-0 in real kNN output, hence normally
+    # dropped above, but kept for exact A + A^T - A o A^T semantics):
+    # A_ii appears in one run with dirbit 0, and its transpose partner
+    # is itself — and it must be emitted once, not mirrored
+    diag = ru == cu
+    w_sym = np.where(diag, a + a - a * a, a + b - a * b)
+    out_rows = np.concatenate([ru, cu[~diag]])
+    out_cols = np.concatenate([cu, ru[~diag]])
+    out_vals = np.concatenate([w_sym, w_sym[~diag]])
+    return (out_rows, out_cols, out_vals)
 
 
 def fuzzy_connectivities(indices, dists):
