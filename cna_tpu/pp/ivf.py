@@ -109,18 +109,13 @@ def _score_slots(x_sorted, slot_starts, slot_counts, probe_starts,
     return negd, idx
 
 
-def measured_recall(x, indices, k, sample=512, seed=0):
-    """Recall@k of ``indices`` against exact kNN on a random query sample.
-
-    Exact truth for the sampled queries is one blocked (sample x N)
-    distance matmul on device — cheap relative to the index build.
-    """
+def exact_knn_sample(x, q_ix, k):
+    """Exact kNN indices of the rows ``q_ix`` of ``x`` against all of
+    ``x`` — one blocked (|q| x N) distance matmul on device, cheap
+    relative to an index build."""
     from .knn import _knn_query_block
 
     n = x.shape[0]
-    rng = np.random.RandomState(seed)
-    m = min(sample, n)
-    q_ix = rng.choice(n, m, replace=False)
     key_block = 8192
     nkb = -(-n // key_block)
     x_dev = jnp.asarray(x)
@@ -128,11 +123,24 @@ def measured_recall(x, indices, k, sample=512, seed=0):
     sq = jnp.sum(x_pad * x_pad, axis=1)
     _, true_idx = _knn_query_block(x_dev[jnp.asarray(q_ix)], x_pad, sq, k,
                                    key_block, n)
-    true_idx = np.asarray(true_idx)
+    return np.asarray(true_idx)
+
+
+def _recall_against(indices_rows, true_rows, k):
     hits = 0
-    for row, truth in zip(indices[q_ix], true_idx):
+    for row, truth in zip(indices_rows, true_rows):
         hits += len(np.intersect1d(row, truth, assume_unique=False))
-    return hits / (m * k)
+    return hits / (len(true_rows) * k)
+
+
+def measured_recall(x, indices, k, sample=512, seed=0):
+    """Recall@k of ``indices`` against exact kNN on a random query sample."""
+    n = x.shape[0]
+    rng = np.random.RandomState(seed)
+    m = min(sample, n)
+    q_ix = rng.choice(n, m, replace=False)
+    true_idx = exact_knn_sample(x, q_ix, k)
+    return _recall_against(indices[q_ix], true_idx, k)
 
 
 def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
@@ -155,6 +163,9 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
     disable the measurement.  Use ``method='pallas'`` (exact, O(N^2))
     if in doubt.
     """
+    from ..utils.profiling import global_profiler
+
+    _prof = global_profiler()
     x = np.asarray(points, dtype=np.float32)
     n, d = x.shape
     if n_clusters is None:
@@ -163,15 +174,16 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
     x_dev = jnp.asarray(x)
 
     # --- 1. centroids (fit on a subsample for huge N) ---
-    rng = np.random.RandomState(seed)
-    fit_x = x_dev
-    if n > kmeans_sample:
-        sub = rng.choice(n, kmeans_sample, replace=False)
-        fit_x = x_dev[jnp.asarray(np.sort(sub))]
-    init_idx = jnp.asarray(
-        rng.choice(fit_x.shape[0], c, replace=False).astype(np.int32))
-    cent = _kmeans_fit(fit_x, init_idx, c, kmeans_iters)
-    cid = np.asarray(_assign(x_dev, cent))
+    with _prof.phase("ivf_kmeans", cells=n):
+        rng = np.random.RandomState(seed)
+        fit_x = x_dev
+        if n > kmeans_sample:
+            sub = rng.choice(n, kmeans_sample, replace=False)
+            fit_x = x_dev[jnp.asarray(np.sort(sub))]
+        init_idx = jnp.asarray(
+            rng.choice(fit_x.shape[0], c, replace=False).astype(np.int32))
+        cent = _kmeans_fit(fit_x, init_idx, c, kmeans_iters)
+        cid = np.asarray(_assign(x_dev, cent))
 
     # --- 2. sort by cluster; cut clusters into <= M-row slots ---
     order = np.argsort(cid, kind="stable").astype(np.int32)
@@ -221,31 +233,38 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
     x_sorted[:n] = x[order]
     x_sorted_dev = jnp.asarray(x_sorted)
 
-    def _search(np_eff):
+    def _score_subset(np_eff, slot_ids):
+        """Score ``slot_ids`` at ``np_eff``; returns slot-major raw
+        (negd_s, idx_s) in SORTED row coordinates."""
         # --- 3. per-cluster probe lists -> padded per-slot slot lists ---
         probe_c = probe_order[:, :np_eff]
+        sel = np.asarray(slot_ids, np.int64)
         max_slots = max(
             sum(len(slots_of_cluster[cj]) for cj in probe_c[ci])
-            for ci in range(c))
-        probe_starts = np.full((s, max_slots), dummy_start, np.int32)
-        probe_counts = np.zeros((s, max_slots), np.int32)
-        for si in range(s):
+            for ci in np.unique(slot_cluster[sel]))
+        ns = len(sel)
+        probe_starts = np.full((ns, max_slots), dummy_start, np.int32)
+        probe_counts = np.zeros((ns, max_slots), np.int32)
+        for row, si in enumerate(sel):
             ci = slot_cluster[si]
             col = 0
             for cj in probe_c[ci]:
                 for sj in slots_of_cluster[cj]:
-                    probe_starts[si, col] = slot_starts[sj]
-                    probe_counts[si, col] = slot_counts[sj]
+                    probe_starts[row, col] = slot_starts[sj]
+                    probe_counts[row, col] = slot_counts[sj]
                     col += 1
 
         # --- 4. score ---
-        chunk = max(1, min(s, int(2.2e8 // max(m * max_slots * m, 1)) or 1))
+        chunk = max(1, min(ns, int(2.2e8 // max(m * max_slots * m, 1)) or 1))
         negd_s, idx_s = _score_slots(
-            x_sorted_dev, jnp.asarray(slot_starts),
-            jnp.asarray(slot_counts), jnp.asarray(probe_starts),
+            x_sorted_dev, jnp.asarray(slot_starts[sel]),
+            jnp.asarray(slot_counts[sel]), jnp.asarray(probe_starts),
             jnp.asarray(probe_counts), k, m, chunk)
-        negd_s = np.asarray(negd_s)
-        idx_s = np.asarray(idx_s)
+        return np.asarray(negd_s), np.asarray(idx_s)
+
+    def _search(np_eff):
+        with _prof.phase(f"ivf_search(nprobe={np_eff})", cells=n):
+            negd_s, idx_s = _score_subset(np_eff, np.arange(s))
 
         # --- 5. unsort back to input order ---
         indices = np.zeros((n, k), np.int32)
@@ -279,27 +298,87 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
         dists[:, 1:] = np.take_along_axis(dists[:, 1:], body_ord, axis=1)
         return indices, dists
 
-    # --- 6. search, measure recall, escalate nprobe until the floor ---
-    # two guards bound the escalation: (a) the per-slot score tensor is
+    # --- 6. calibrate nprobe on a slot subsample, search, verify ---
+    # two guards bound the probe count: (a) the per-slot score tensor is
     # (nprobe_slots*m, m) — cap nprobe so it stays ~<=1.5 GB (full-probe
     # at 1M cells would be ~6.5 GB and OOM a 16 GB chip); (b) expander-
     # regime data (high-dim noise-dominated neighborhoods) plateaus in
     # recall as nprobe grows (measured invariant, see BENCH notes) —
-    # stop when a doubling buys < 0.005 recall rather than burn a full
-    # scan chasing an unreachable floor.
+    # stop when an escalation buys < 0.005 recall rather than burn a
+    # full scan chasing an unreachable floor.
     np_mem_cap = max(int(1.5e9 / max(m * m * 4, 1)), 8)
     np_max = int(min(c, np_mem_cap))
     np_eff = int(min(nprobe, np_max))
+
+    if min_recall is not None and s >= 128:
+        # PILOT: each candidate nprobe is scored on a random ~6% slot
+        # subsample (bounded below at 32 slots) and its recall measured
+        # on queries drawn from those slots — so the expensive full
+        # search runs ONCE, at a calibrated nprobe, instead of being
+        # repeated per doubling.  Between pilot rounds the next
+        # candidate comes from the empirical power law
+        # recall ~ nprobe^alpha (alpha fitted from the last two pilot
+        # points; ~0.37 measured on archetype synthetics), clamped to
+        # [1.5x, 4x] growth.
+        rng_p = np.random.RandomState(seed + 17)
+        n_pilot = min(s, max(32, s // 16))
+        ps_ids = np.sort(rng_p.choice(s, n_pilot, replace=False))
+        ps_ids = ps_ids[slot_counts[ps_ids] > 0]
+        pilot_cells_sorted = np.concatenate([
+            np.arange(slot_starts[si], slot_starts[si] + slot_counts[si])
+            for si in ps_ids])
+        q_sorted = rng_p.choice(
+            pilot_cells_sorted,
+            min(recall_sample, len(pilot_cells_sorted)), replace=False)
+        q_orig = order[q_sorted]
+        with _prof.phase("ivf_exact_truth"):
+            true_idx = exact_knn_sample(x, q_orig, k)
+        # map each sampled query to (pilot slot row, offset)
+        slot_of_q = np.searchsorted(slot_starts[ps_ids], q_sorted,
+                                    side="right") - 1
+        off_of_q = q_sorted - slot_starts[ps_ids][slot_of_q]
+
+        history = []
+        np_c = np_eff
+        while True:
+            with _prof.phase(f"ivf_pilot(nprobe={np_c})"):
+                _, idx_p = _score_subset(np_c, ps_ids)
+            got = order[np.clip(idx_p[slot_of_q, off_of_q], 0, n - 1)]
+            rec = _recall_against(got, true_idx, k)
+            history.append((np_c, rec))
+            if rec >= min_recall or np_c >= np_max:
+                break
+            if len(history) >= 2:
+                (np0, r0), (np1, r1) = history[-2], history[-1]
+                if r1 - r0 < 0.005:
+                    break  # plateaued — escalation buys nothing
+                alpha = np.log(r1 / max(r0, 1e-9)) / np.log(np1 / np0)
+                alpha = float(np.clip(alpha, 0.15, 1.0))
+            else:
+                alpha = 0.37
+            jump = (min_recall / max(rec, 1e-9)) ** (1.0 / alpha)
+            np_c = int(min(np_max, max(np_c * min(max(jump, 1.5), 4.0),
+                                       np_c + 1)))
+            print(f"# pp.ivf pilot: recall@{k} = {rec:.3f} < {min_recall} "
+                  f"at nprobe={history[-1][0]}; trying {np_c}",
+                  file=sys.stderr)
+        np_eff = np_c
+        pilot_settled = history[-1][1] < min_recall
+    else:
+        pilot_settled = False
+
     prev_rec = -1.0
     while True:
         indices, dists = _search(np_eff)
         if min_recall is None:
             return indices, dists
-        rec = measured_recall(x, indices, k, sample=recall_sample,
-                              seed=seed)
+        with _prof.phase("ivf_recall_check"):
+            rec = measured_recall(x, indices, k, sample=recall_sample,
+                                  seed=seed)
         if rec >= min_recall:
             return indices, dists
-        plateaued = prev_rec >= 0 and (rec - prev_rec) < 0.005
+        plateaued = (prev_rec >= 0 and (rec - prev_rec) < 0.005) or \
+            pilot_settled  # pilot already proved the floor unreachable
         if np_eff >= np_max or plateaued:
             import warnings
 

@@ -212,14 +212,20 @@ def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None,
     if n_pcs is not None:
         rep = rep[:, :n_pcs]
 
-    indices, dists = knn_search(rep, n_neighbors, method=method)
+    from ..utils.profiling import global_profiler
+
+    _prof = global_profiler()
+    with _prof.phase("knn", cells=data.n_obs):
+        indices, dists = knn_search(rep, n_neighbors, method=method)
 
     n = data.n_obs
-    rows = np.repeat(np.arange(n), n_neighbors - 1)
-    dist_mat = sp.csr_matrix(
-        (dists[:, 1:].ravel(), (rows, indices[:, 1:].ravel())), shape=(n, n))
+    with _prof.phase("fuzzy_graph", cells=n):
+        rows = np.repeat(np.arange(n), n_neighbors - 1)
+        dist_mat = sp.csr_matrix(
+            (dists[:, 1:].ravel(), (rows, indices[:, 1:].ravel())),
+            shape=(n, n))
 
-    conn = fuzzy_connectivities(indices, dists)
+        conn = fuzzy_connectivities(indices, dists)
 
     data.obsp["distances"] = dist_mat
     data.obsp["connectivities"] = conn

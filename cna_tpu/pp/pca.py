@@ -71,10 +71,16 @@ def pca(data, n_comps=50, key_added="X_pca"):
     """
     if data.X is None:
         raise ValueError("data.X is required for PCA")
+    from ..utils.profiling import global_profiler
+
+    _prof = global_profiler()
     x = jnp.asarray(data.X)
     n_comps = min(n_comps, x.shape[1], x.shape[0])
-    scores_dev, variance, components, total_var = _pca_device(x, n_comps)
-    scores = np.asarray(jax.device_get(scores_dev))
+    with _prof.phase("pca_compute", cells=int(x.shape[0])):
+        scores_dev, variance, components, total_var = _pca_device(x, n_comps)
+        scores_dev.block_until_ready()
+    with _prof.phase("pca_d2h"):
+        scores = np.asarray(jax.device_get(scores_dev))
     data.obsm[key_added] = scores
     data.uns[_PCA_DEV_KEY] = (scores, scores_dev)
     data.uns["pca"] = {

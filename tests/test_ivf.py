@@ -75,6 +75,23 @@ def test_ivf_association_fidelity(capsys):
     assert r > 0.99, r
 
 
+def test_ivf_pilot_calibration(capsys):
+    """With many slots, nprobe is calibrated on a slot-subsample pilot
+    (one full search) instead of repeated full-search doublings; the
+    result must still meet the recall floor starting from a hopeless
+    nprobe."""
+    n, k = 20_000, 10
+    x = _manifold_points(n, seed=5)
+    idx, _ = ivf_knn(x, k, n_clusters=256, nprobe=2, min_recall=0.9,
+                     seed=0)
+    err = capsys.readouterr().err
+    assert "pp.ivf pilot" in err, err  # the pilot actually engaged
+    ei, _ = knn_search(x, k, method="exact")
+    recall = np.mean([len(set(idx[i]) & set(ei[i])) / k
+                      for i in range(0, n, 17)])
+    assert recall > 0.87, recall
+
+
 def test_ivf_handles_unbalanced_clusters():
     # one dense blob + a sparse tail: clusters span multiple slots
     rng = np.random.RandomState(1)
