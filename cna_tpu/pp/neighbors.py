@@ -172,14 +172,24 @@ def fuzzy_connectivities(indices, dists):
     """Symmetric fuzzy-union connectivity matrix from kNN lists.
 
     Returns a scipy CSR (N x N): ``A + A^T - A o A^T``.
-    """
-    n, k = indices.shape
-    d = jnp.asarray(dists)
-    rho, sigma = smooth_knn_dist(d, jnp.log2(jnp.asarray(float(k))))
-    w = np.asarray(membership_strengths(
-        d, rho, sigma, jnp.asarray(np.asarray(indices, dtype=np.int32))))
 
-    rows, cols, vals = _fuzzy_union_edges(np.asarray(indices), w)
+    rho/sigma come from the vmapped on-device bisection; the membership
+    strengths themselves are evaluated host-side from the (already
+    host-resident) distances — the formula is one exp over N*k values,
+    and pulling the (N, k) weight matrix back through the tunneled d2h
+    path would cost more than recomputing it (CLAUDE.md: d2h ~8 MB/s).
+    """
+    idx_np = np.asarray(indices)
+    d_np = np.asarray(dists)
+    n, k = idx_np.shape
+    rho, sigma = smooth_knn_dist(jnp.asarray(d_np),
+                                 jnp.log2(jnp.asarray(float(k))))
+    rho_np = np.asarray(rho)
+    sig_np = np.asarray(sigma)
+    w = np.exp(-np.maximum(d_np - rho_np[:, None], 0.0) / sig_np[:, None])
+    w[idx_np == np.arange(n)[:, None]] = 0.0  # self edges, by index
+
+    rows, cols, vals = _fuzzy_union_edges(idx_np, w)
     result = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
     result.eliminate_zeros()
     return result
@@ -217,13 +227,22 @@ def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None,
     _prof = global_profiler()
     with _prof.phase("knn", cells=data.n_obs):
         indices, dists = knn_search(rep, n_neighbors, method=method)
+        # pull both (N, k) arrays exactly once; everything downstream
+        # (distances CSR, fuzzy union) is host-side
+        indices = np.asarray(indices)
+        dists = np.asarray(dists)
 
     n = data.n_obs
     with _prof.phase("fuzzy_graph", cells=n):
-        rows = np.repeat(np.arange(n), n_neighbors - 1)
+        # rows are already grouped: build the CSR directly from the kNN
+        # layout (indptr is arithmetic) instead of a COO coalesce sort
+        kk = n_neighbors - 1
+        indptr = np.arange(0, n * kk + 1, kk, dtype=np.int64)
         dist_mat = sp.csr_matrix(
-            (dists[:, 1:].ravel(), (rows, indices[:, 1:].ravel())),
+            (dists[:, 1:].ravel().copy(),
+             indices[:, 1:].ravel().astype(np.int32), indptr),
             shape=(n, n))
+        dist_mat.sort_indices()
 
         conn = fuzzy_connectivities(indices, dists)
 
