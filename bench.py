@@ -24,12 +24,14 @@ Scale knobs via env:
   CNA_BENCH_REF_REPS reference timing repetitions   (default 3)
   CNA_BENCH_REF_CELLS reference run size            (default = CELLS)
     When the reference would be intractable at CELLS (e.g. the 1M-cell
-    north-star config), set a smaller REF_CELLS; the speedup is then
-    reported against a linear-in-cells extrapolation of the measured
-    reference time (diffusion, the local test and the NAM matmuls are
-    all O(cells); the permutation F-test loop is cells-independent, so
-    linear extrapolation *understates* the true reference time and the
-    reported speedup is conservative).
+    north-star config), set a smaller REF_CELLS; the reference is then
+    measured at TWO sizes (REF_CELLS and REF_CELLS/2) and extrapolated
+    with the fitted affine model t(n) = a + b*n.  The intercept a
+    captures the cells-INDEPENDENT work (the reference's global
+    permutation F-test loop scales with samples only, reference
+    _association.py:84) and is NOT scaled up; only the measured
+    per-cell slope b is.  Extras record both measured points and the
+    fitted (a, b) so the extrapolation is auditable.
 """
 
 from __future__ import annotations
@@ -121,15 +123,41 @@ def main():
     ref_nnull = min(nnull, 10_000)
     ref_s, ref_times, p_ref = _run_reference(d_ref, y_ref, ref_nnull,
                                              ref_reps)
-    ref_scale = 1.0
-    if ref_cells != n_cells:
-        ref_scale = n_cells / ref_cells
-        err(f"# reference measured at {ref_cells} cells; extrapolating "
-            f"x{ref_scale:.1f} (linear in cells, conservative)")
-    ref_extrap_s = ref_s * ref_scale
     err(f"# reference assoc (CPU f64, {ref_cells} cells, {ref_nnull} perms): "
         f"median {ref_s:.1f}s of {['%.1f' % t for t in ref_times]} "
         f"(p={p_ref:.4g})")
+    ref_fit = None
+    if ref_cells != n_cells:
+        # second measured size -> affine fit t(n) = a + b*n, so the
+        # cells-independent permutation loop (intercept) is NOT scaled
+        ref_cells2 = ref_cells // 2
+        d_ref2, samplem_ref2 = _make_data(ref_cells2, n_samples, seed=2)
+        _build_graph(d_ref2)
+        y_ref2 = samplem_ref2["case"].astype(float)
+        ref_s2, ref_times2, _ = _run_reference(d_ref2, y_ref2, ref_nnull,
+                                               ref_reps)
+        err(f"# reference assoc (CPU f64, {ref_cells2} cells): median "
+            f"{ref_s2:.1f}s of {['%.1f' % t for t in ref_times2]}")
+        b = (ref_s - ref_s2) / (ref_cells - ref_cells2)
+        a = ref_s - b * ref_cells
+        if b <= 0 or a < 0:
+            # host-timing noise broke the fit; fall back to the bound
+            # that cannot overstate the reference: pure linear scaling
+            # of the smaller per-cell rate
+            b = min(ref_s / ref_cells, ref_s2 / ref_cells2)
+            a = 0.0
+            err("# reference scaling fit degenerate (noisy host); using "
+                "min per-cell rate, intercept 0 (understates reference)")
+        ref_extrap_s = a + b * n_cells
+        ref_fit = {"intercept_s": round(a, 3),
+                   "slope_s_per_cell": b,
+                   "ref_cells2": ref_cells2,
+                   "ref_median2_s": round(ref_s2, 3),
+                   "ref_times2_s": [round(t, 3) for t in ref_times2]}
+        err(f"# reference extrapolation: t(n) = {a:.1f}s + {b * 1e6:.2f}s/M "
+            f"* n -> {ref_extrap_s:.1f}s at {n_cells} cells")
+    else:
+        ref_extrap_s = ref_s
 
     # ---- cna_tpu ----
     if ref_cells == n_cells:
@@ -167,6 +195,8 @@ def main():
         "ref_extrapolated_s": round(ref_extrap_s, 3),
         "e2e_warm_s": round(graph_warm_s + warm_s, 3),
     }
+    if ref_fit is not None:
+        extras["ref_fit"] = ref_fit
     print(json.dumps({
         "metric": f"association_e2e_{n_cells // 1000}k_cells_{nnull}perm",
         "value": round(warm_s, 3),

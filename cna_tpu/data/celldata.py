@@ -30,7 +30,12 @@ class CellData:
     def __init__(self, X=None, obs=None, var=None, obsm=None, obsp=None,
                  uns=None, samplem=None, sid_name="id"):
         if X is not None:
-            X = np.asarray(X)
+            import scipy.sparse as sp
+
+            if not sp.issparse(X):
+                X = np.asarray(X)
+            # sparse X stays sparse: a 1M-cell x 20k-gene atlas is ~80 GB
+            # dense; every consumer (pp.pca, pp.select_hvg, io) streams it
         self.X = X
 
         if obs is None:

@@ -92,11 +92,11 @@ def read_h5ad(path) -> CellData:
         obsp = {k: _read_element(v) for k, v in f["obsp"].items()} if "obsp" in f else {}
         uns = _read_element(f["uns"]) if "uns" in f else {}
     if sp.issparse(x):
-        x_arr = x
+        x_arr = x.tocsr()  # stays sparse — see CellData docstring
     else:
         x_arr = np.asarray(x) if x is not None else None
     d = CellData.__new__(CellData)
-    d.X = x_arr.toarray() if sp.issparse(x_arr) else x_arr
+    d.X = x_arr
     d.obs = obs if obs is not None else pd.DataFrame()
     d.var = var if var is not None else pd.DataFrame()
     d.obsm = obsm

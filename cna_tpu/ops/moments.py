@@ -98,9 +98,15 @@ def column_r2_counted(a, b, n_true, ddof=1):
     # first diffusion step) would yield 0/0 = NaN, as the reference's R()
     # does; emit +inf instead so compiled programs stay NaN-free under
     # jax_debug_nans (real R^2 <= 1, so the sentinel is unambiguous —
-    # the diagnostics printer renders it back as nan for UX parity)
+    # the diagnostics printer renders it back as nan for UX parity).
+    # The zero test is RELATIVE to each column's magnitude: catastrophic
+    # cancellation in ``saa - n*ma*ma`` can leave a genuinely varying
+    # column with a tiny negative variance, which must not trip the
+    # sentinel (one +inf wipes the whole step's r2p20 diagnostic).
+    eps = 16 * jnp.finfo(a.dtype).eps
+    safe = ((var_a > eps * jnp.abs(saa / n))
+            & (var_b > eps * jnp.abs(sbb / n)))
     denom = var_a * var_b
-    safe = denom > 0
     r2 = (cov * cov) / jnp.where(safe, denom, 1.0)
     return jnp.where(safe, r2, jnp.inf)
 

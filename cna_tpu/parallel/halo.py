@@ -10,11 +10,20 @@ the **ghost rows** its neighbors reference, via one ``all_to_all`` inside
 [own rows ‖ received ghosts].
 
 The exchange plan (which rows each shard pair needs) is computed once on
-host from the ELL structure; per-pair ghost lists are padded to the
-global max so the collective has a static shape.  On cluster-ordered
-manifold graphs ghosts are a small fraction of N; on expander-like
-graphs the plan degenerates towards an all-gather — never worse in bytes
-than the dense exchange by more than the padding factor.
+host from the CSR structure in a handful of vectorized passes (one sort
+over the cross-shard edges — no per-pair Python loops), so plan builds
+stay in seconds at atlas scale.  Per-pair ghost lists are padded to the
+global max so the collective has a static shape.  The plan only pays off
+when the cell axis is locality-ordered first (``tools._nam.get_halo_plan``
+applies a cluster ordering before building) — on cluster-ordered manifold
+graphs ghosts are a small fraction of N; on expander-like graphs the plan
+degenerates towards an all-gather — never worse in bytes than the dense
+exchange by more than the padding factor.
+
+Hub rows (UMAP-union degree reaches ~20x the mean) would force the local
+ELL width to the max degree; instead the pack splits at a degree
+percentile: the bulk of rows in a narrow main ELL, the few heavy rows'
+excess edges in a small per-shard hub ELL applied by scatter-add.
 """
 
 from __future__ import annotations
@@ -36,21 +45,30 @@ from . import mesh as meshlib
 class HaloPlan:
     """Per-shard exchange plan + locally-remapped graph.
 
-    Shapes (D = shards, Nd = rows per shard, K = ELL width, G = padded
-    per-pair ghost count):
+    Shapes (D = shards, Nd = rows per shard, K = main ELL width, H = hub
+    rows per shard, K2 = hub ELL width, G = padded per-pair ghost count):
 
       local_indices: (D, Nd, K) int32 — ELL neighbor ids remapped into the
         extended local layout [0, Nd + D*G): own rows first, then ghosts
         grouped by source shard.
       local_weights: (D, Nd, K).
+      hub_rows: (D, H) int32 — shard-local row ids of heavy rows whose
+        edges beyond K continue in the hub ELL (padding slots: row 0 with
+        all-zero weights).
+      hub_indices / hub_weights: (D, H, K2) — the heavy rows' overflow
+        edges, same extended-layout index space.
       send_idx: (D, D, G) int32 — send_idx[j, i] = rows (local to shard j)
         that shard i needs; padded slots resend row 0 (ignored by i).
       colsums: (D, Nd) column-sum normalizer rows owned by each shard.
       n_cells: true cell count (before shard padding).
+      n_ghosts: true (unpadded) ghost rows exchanged per step.
     """
 
     local_indices: jnp.ndarray
     local_weights: jnp.ndarray
+    hub_rows: jnp.ndarray
+    hub_indices: jnp.ndarray
+    hub_weights: jnp.ndarray
     send_idx: jnp.ndarray
     colsums: jnp.ndarray
     n_cells: int = dataclasses.field(metadata=dict(static=True))
@@ -75,76 +93,163 @@ class HaloPlan:
         all-gather and the GSPMD path would move the same bytes."""
         return self.n_ghosts / max(self.n_cells, 1)
 
+    def exchange_stats(self, s_cols: int, itemsize: int = 4) -> dict:
+        """Per-step interconnect traffic of this plan vs the dense
+        (GSPMD all-gather) exchange, for an (N, ``s_cols``) state.
 
-def build_halo_plan(indices, weights, colsums, n_shards, pad_to=8) -> HaloPlan:
-    """Build the exchange plan from host ELL arrays.
+        Returns bytes moved: ``ghost`` (true boundary rows), ``padded``
+        (what the fixed-shape all_to_all actually ships, incl. padding),
+        and ``allgather`` (the dense alternative: every shard receives
+        every remote row)."""
+        d, nd = self.colsums.shape
+        g = self.ghosts_per_pair
+        row = s_cols * itemsize
+        return {
+            "ghost_bytes": self.n_ghosts * row,
+            "padded_bytes": d * (d - 1) * g * row,
+            "allgather_bytes": d * (d - 1) * nd * row,
+            "ghost_fraction": self.ghost_fraction(),
+        }
 
-    ``indices``/``weights``: (N, K) ELL graph; ``colsums``: (N,).
-    Rows are padded so N divides evenly; padding rows have no edges.
+
+def _round_up(x: int, m: int) -> int:
+    return ((int(x) + m - 1) // m) * m
+
+
+def build_halo_plan_csr(a, n_shards, colsums=None, pad_to=8,
+                        width_percentile=99.5, dtype=None) -> HaloPlan:
+    """Build the exchange plan from a scipy sparse matrix.
+
+    ``a``: (N, N) sparse graph, rows = consumers (``a.dot(s)`` semantics,
+    reference ``_nam.py:33``).  The caller is responsible for any
+    locality ordering of the cell axis — the plan blocks rows in the
+    order given.  ``colsums``: (N,) normalizers (computed from ``a``
+    when omitted).
+
+    All passes are vectorized: one ``np.unique`` over the cross-shard
+    edges discovers every (consumer, producer, row) ghost at once; ELL
+    remapping is a single ``searchsorted`` over nnz.
     """
-    indices = np.asarray(indices)
-    weights = np.asarray(weights)
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix(a)
+    n = a.shape[0]
+    if colsums is None:
+        colsums = np.asarray(a.sum(axis=0)).ravel()
     colsums = np.asarray(colsums)
-    n, k = indices.shape
-    nd = -(-n // n_shards)
-    nd = ((nd + pad_to - 1) // pad_to) * pad_to
-    n_pad = nd * n_shards
-    if n_pad > n:
-        indices = np.pad(indices, ((0, n_pad - n), (0, 0)))
-        weights = np.pad(weights, ((0, n_pad - n), (0, 0)))
-        colsums = np.pad(colsums, (0, n_pad - n), constant_values=1.0)
+    if dtype is None:
+        dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
 
-    owner = indices // nd  # (N, K) owning shard of each referenced row
+    d = int(n_shards)
+    nd = _round_up(-(-n // d), pad_to)
+    n_pad = nd * d
 
-    # per (consumer shard i, producer shard j): sorted unique remote rows
-    ghost_lists: list[list[np.ndarray]] = []
-    g_max = 1
-    n_ghosts = 0
-    for i in range(n_shards):
-        row_lo, row_hi = i * nd, (i + 1) * nd
-        idx_i = indices[row_lo:row_hi]
-        own_i = owner[row_lo:row_hi]
-        per_producer = []
-        for j in range(n_shards):
-            if j == i:
-                per_producer.append(np.zeros(0, dtype=np.int64))
-                continue
-            needed = np.unique(idx_i[own_i == j])
-            per_producer.append(needed)
-            g_max = max(g_max, len(needed))
-            n_ghosts += len(needed)
-        ghost_lists.append(per_producer)
-    g = ((g_max + pad_to - 1) // pad_to) * pad_to
+    deg = np.diff(a.indptr)
+    maxdeg = int(deg.max()) if n else 0
+    k1 = int(np.percentile(deg, width_percentile)) if n else 0
+    k1 = _round_up(max(k1, 1), pad_to)
+    if _round_up(maxdeg, pad_to) <= 2 * k1:
+        k1 = _round_up(max(maxdeg, 1), pad_to)  # hub split not worth it
 
-    send_idx = np.zeros((n_shards, n_shards, g), dtype=np.int32)
-    local_indices = np.zeros((n_shards, nd, k), dtype=np.int32)
-    local_weights = np.zeros((n_shards, nd, k), dtype=weights.dtype)
-    for i in range(n_shards):
-        row_lo = i * nd
-        idx_i = indices[row_lo : row_lo + nd].copy()
-        own_i = owner[row_lo : row_lo + nd]
-        # own rows -> [0, Nd)
-        remap = idx_i - row_lo
-        for j in range(n_shards):
-            if j == i:
-                continue
-            ghosts = ghost_lists[i][j]
-            send_idx[j, i, : len(ghosts)] = ghosts - j * nd  # local to j
-            # ghosts from producer j land at [Nd + j*G, Nd + j*G + len)
-            base = nd + j * g
-            lookup = np.searchsorted(ghosts, idx_i[own_i == j])
-            remap[own_i == j] = base + lookup
-        local_indices[i] = remap
-        local_weights[i] = weights[row_lo : row_lo + nd]
+    nnz = a.nnz
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols = a.indices.astype(np.int64)
+    vals = a.data
+    pos = np.arange(nnz, dtype=np.int64) - np.repeat(a.indptr[:-1], deg)
+
+    cons = rows // nd
+    prod = cols // nd
+    cross = cons != prod
+
+    # --- ghost discovery: one unique over (consumer, referenced col) ---
+    ck = cons[cross] * n_pad + cols[cross]
+    uk = np.unique(ck)
+    n_ghosts = len(uk)
+    ucons = uk // n_pad
+    ucol = uk % n_pad
+    uprod = ucol // nd
+    pair = (ucons * d + uprod).astype(np.int64)  # non-decreasing
+    counts = np.bincount(pair, minlength=d * d)
+    g = _round_up(max(int(counts.max()) if counts.size else 0, 1), pad_to)
+    seg_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    send_idx = np.zeros((d, d, g), dtype=np.int32)
+    if n_ghosts:
+        pos_in_seg = np.arange(n_ghosts, dtype=np.int64) - seg_start[pair]
+        send_idx[uprod, ucons, pos_in_seg] = (ucol - uprod * nd).astype(
+            np.int32)
+
+    # --- remap every edge into the extended local layout ---
+    ext_idx = np.empty(nnz, dtype=np.int64)
+    own = ~cross
+    ext_idx[own] = cols[own] - cons[own] * nd
+    if n_ghosts:
+        gpos = np.searchsorted(uk, ck)  # exact: every ck is in uk
+        gpair = pair[gpos]
+        ext_idx[cross] = nd + uprod[gpos] * g + (gpos - seg_start[gpair])
+
+    # --- main ELL pack (first k1 edges of each row) ---
+    main = pos < k1
+    li = np.zeros((n_pad, k1), dtype=np.int32)
+    lw = np.zeros((n_pad, k1), dtype=dtype)
+    li[rows[main], pos[main]] = ext_idx[main]
+    lw[rows[main], pos[main]] = vals[main].astype(dtype)
+
+    # --- hub ELL: heavy rows' overflow edges, scatter-added per shard ---
+    hub_global = np.flatnonzero(deg > k1)
+    if len(hub_global):
+        k2 = _round_up(int((deg[hub_global] - k1).max()), pad_to)
+        shard_of_hub = hub_global // nd
+        h_counts = np.bincount(shard_of_hub, minlength=d)
+        h = _round_up(max(int(h_counts.max()), 1), pad_to)
+        shard_seg = np.concatenate([[0], np.cumsum(h_counts)[:-1]])
+        rank = np.arange(len(hub_global)) - shard_seg[shard_of_hub]
+        hub_rows = np.zeros((d, h), dtype=np.int32)
+        hub_rows[shard_of_hub, rank] = (hub_global % nd).astype(np.int32)
+        rank_of = np.zeros(n, dtype=np.int64)
+        rank_of[hub_global] = rank
+        hubm = pos >= k1
+        hi = np.zeros((d, h, k2), dtype=np.int32)
+        hw = np.zeros((d, h, k2), dtype=dtype)
+        er = rows[hubm]
+        hi[er // nd, rank_of[er], pos[hubm] - k1] = ext_idx[hubm]
+        hw[er // nd, rank_of[er], pos[hubm] - k1] = vals[hubm].astype(dtype)
+    else:
+        hub_rows = np.zeros((d, 0), dtype=np.int32)
+        hi = np.zeros((d, 0, 0), dtype=np.int32)
+        hw = np.zeros((d, 0, 0), dtype=dtype)
+
+    colsums_pad = np.ones(n_pad, dtype=dtype)
+    colsums_pad[:n] = colsums.astype(dtype)
 
     return HaloPlan(
-        local_indices=jnp.asarray(local_indices),
-        local_weights=jnp.asarray(local_weights),
+        local_indices=jnp.asarray(li.reshape(d, nd, k1)),
+        local_weights=jnp.asarray(lw.reshape(d, nd, k1)),
+        hub_rows=jnp.asarray(hub_rows),
+        hub_indices=jnp.asarray(hi),
+        hub_weights=jnp.asarray(hw),
         send_idx=jnp.asarray(send_idx),
-        colsums=jnp.asarray(colsums.reshape(n_shards, nd)),
+        colsums=jnp.asarray(colsums_pad.reshape(d, nd)),
         n_cells=n,
         n_ghosts=n_ghosts,
     )
+
+
+def build_halo_plan(indices, weights, colsums, n_shards, pad_to=8) -> HaloPlan:
+    """Build the exchange plan from host ELL arrays (``indices``/``weights``
+    (N, K), ``colsums`` (N,)) — convenience wrapper over the CSR builder."""
+    import scipy.sparse as sp
+
+    indices = np.asarray(indices)
+    weights = np.asarray(weights)
+    n, k = indices.shape
+    rows = np.repeat(np.arange(n), k)
+    mask = np.asarray(weights).ravel() != 0
+    a = sp.csr_matrix(
+        (np.asarray(weights).ravel()[mask],
+         (rows[mask], indices.ravel()[mask])), shape=(n, n))
+    return build_halo_plan_csr(a, n_shards, colsums=np.asarray(colsums),
+                               pad_to=pad_to, dtype=weights.dtype)
 
 
 def place_plan(plan: HaloPlan, mesh) -> HaloPlan:
@@ -165,12 +270,16 @@ def place_plan(plan: HaloPlan, mesh) -> HaloPlan:
         plan,
         local_indices=jax.device_put(plan.local_indices, rows),
         local_weights=jax.device_put(plan.local_weights, rows),
+        hub_rows=jax.device_put(plan.hub_rows, rows),
+        hub_indices=jax.device_put(plan.hub_indices, rows),
+        hub_weights=jax.device_put(plan.hub_weights, rows),
         send_idx=jax.device_put(plan.send_idx, rows),
         colsums=jax.device_put(plan.colsums, rows),
     )
 
 
-def _halo_step_local(t_local, idx, w, send_idx_row):
+def _halo_step_local(t_local, idx, w, hub_rows, hub_idx, hub_w,
+                     send_idx_row):
     """Per-shard body: exchange ghosts, SpMM against [own ‖ ghosts]."""
     s_dim = t_local.shape[-1]
     send_idx_row = send_idx_row[0]  # shard_map passes a (1, D, G) block
@@ -178,8 +287,15 @@ def _halo_step_local(t_local, idx, w, send_idx_row):
     recv = jax.lax.all_to_all(send, meshlib.CELLS, 0, 0, tiled=False)
     ext = jnp.concatenate([t_local, recv.reshape(-1, s_dim)], axis=0)
     gathered = jnp.take(ext, idx, axis=0)  # (Nd, K, S)
-    return jnp.einsum("nk,nks->ns", w, gathered,
-                      preferred_element_type=t_local.dtype)
+    out = jnp.einsum("nk,nks->ns", w, gathered,
+                     preferred_element_type=t_local.dtype)
+    if hub_idx.shape[2] > 0:
+        # heavy rows' overflow edges: (1, H, K2) blocks
+        hg = jnp.take(ext, hub_idx[0], axis=0)  # (H, K2, S)
+        contrib = jnp.einsum("hk,hks->hs", hub_w[0], hg,
+                             preferred_element_type=t_local.dtype)
+        out = out.at[hub_rows[0]].add(contrib)
+    return out
 
 
 @partial(jax.jit, static_argnames=("mesh", "self_weight"))
@@ -199,6 +315,7 @@ def halo_diffusion_step(s, plan: HaloPlan, mesh, self_weight=1.0):
         _halo_step_local,
         mesh=mesh,
         in_specs=(P(meshlib.CELLS), P(meshlib.CELLS), P(meshlib.CELLS),
+                  P(meshlib.CELLS), P(meshlib.CELLS), P(meshlib.CELLS),
                   # send_idx: shard over the PRODUCER axis (axis 0): shard j
                   # holds send_idx[j] = what it sends to every consumer
                   P(meshlib.CELLS)),
@@ -207,5 +324,6 @@ def halo_diffusion_step(s, plan: HaloPlan, mesh, self_weight=1.0):
     )
     idx_flat = plan.local_indices.reshape(d * nd, -1)
     w_flat = plan.local_weights.reshape(d * nd, -1)
-    out = step(t, idx_flat, w_flat, plan.send_idx)
+    out = step(t, idx_flat, w_flat, plan.hub_rows, plan.hub_indices,
+               plan.hub_weights, plan.send_idx)
     return out + self_weight * t

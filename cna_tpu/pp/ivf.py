@@ -362,6 +362,7 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
         off_of_q = q_sorted - slot_starts[ps_ids][slot_of_q]
 
         history = []
+        pilot_stop = None  # 'cap' | 'plateau' when recall floor unmet
         # large fine-grained indexes need a double-digit percentage of
         # clusters probed in practice (measured on archetype and
         # manifold synthetics alike); starting the pilot at c/8 saves a
@@ -374,13 +375,16 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
             rec = _recall_against(got, true_idx, k)
             history.append((np_c, rec))
             if rec >= min_recall or np_c >= np_max:
+                if rec < min_recall:
+                    pilot_stop = "cap"  # hit the memory-bounded nprobe cap
                 print(f"# pp.ivf pilot: recall@{k} = {rec:.3f} at "
                       f"nprobe={np_c}; searching", file=sys.stderr)
                 break
             if len(history) >= 2:
                 (np0, r0), (np1, r1) = history[-2], history[-1]
                 if r1 - r0 < 0.005:
-                    break  # plateaued — escalation buys nothing
+                    pilot_stop = "plateau"  # escalation buys nothing
+                    break
                 alpha = np.log(r1 / max(r0, 1e-9)) / np.log(np1 / np0)
                 alpha = float(np.clip(alpha, 0.15, 1.0))
             else:
@@ -392,9 +396,8 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
                   f"at nprobe={history[-1][0]}; trying {np_c}",
                   file=sys.stderr)
         np_eff = np_c
-        pilot_settled = history[-1][1] < min_recall
     else:
-        pilot_settled = False
+        pilot_stop = None
 
     prev_rec = -1.0
     while True:
@@ -407,7 +410,7 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
         if rec >= min_recall:
             return indices, dists
         plateaued = (prev_rec >= 0 and (rec - prev_rec) < 0.005) or \
-            pilot_settled  # pilot already proved the floor unreachable
+            pilot_stop == "plateau"  # pilot proved the floor unreachable
         if np_eff >= np_max or plateaued:
             import warnings
 

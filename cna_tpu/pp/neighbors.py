@@ -137,6 +137,9 @@ def _fuzzy_union_edges(indices, w):
     v_s = vals[order]
 
     m = len(k_s)
+    if m == 0:  # e.g. n_neighbors=1: only self edges, all strength 0
+        empty_i = np.zeros(0, dtype=np.int32)
+        return (empty_i, empty_i.copy(), np.zeros(0, dtype=vals.dtype))
     first = np.empty(m, dtype=bool)
     first[0] = True
     np.not_equal(k_s[1:], k_s[:-1], out=first[1:])

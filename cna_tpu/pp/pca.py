@@ -52,6 +52,74 @@ def _pca_device(x, n_comps):
     return scores_dev, evals[:n_comps], evecs[:, :n_comps], float(cov.trace())
 
 
+@jax.jit
+def _gram_chunk(blk):
+    """(B, G) chunk -> (uncentered gram (G, G), column sums (G,))."""
+    return blk.T @ blk, blk.sum(axis=0)
+
+
+@jax.jit
+def _project_chunk(blk, comps, shift):
+    return blk @ comps - shift[None, :]
+
+
+_SPARSE_PCA_MAX_GENES = 4096
+
+
+def _pca_sparse(x, n_comps, chunk_rows=65_536):
+    """PCA of a scipy sparse X without ever materializing it densely.
+
+    Streams densified row chunks (B x G, B*G bounded) through the same
+    two MXU stages as the dense path: accumulate the uncentered gram
+    ``X^T X`` and column sums on device, center on host
+    (``cov = (X'X - n mu mu')/(n-1)``), eigh the (G, G) covariance on
+    host, then project chunks.  Exact — matches the dense path to
+    rounding.  Guarded at ``G <= _SPARSE_PCA_MAX_GENES``: above that the
+    (G, G) covariance stops being small; select genes first
+    (``pp.select_hvg``, the standard scanpy recipe upstream of PCA).
+
+    Returns (scores_dev (N, n_comps), evals, evecs, total_var).
+    """
+    import scipy.sparse as sp
+
+    n, g = x.shape
+    if g > _SPARSE_PCA_MAX_GENES:
+        raise ValueError(
+            f"sparse PCA with {g} genes needs a (G, G) covariance that is "
+            "no longer small; run cna_tpu.pp.select_hvg(data) first to "
+            f"reduce to <= {_SPARSE_PCA_MAX_GENES} informative genes "
+            "(the standard recipe upstream of PCA)")
+    x = sp.csr_matrix(x)
+    from ..config import default_float
+
+    dtype = default_float()
+    gram = jnp.zeros((g, g), dtype=dtype)
+    colsum = jnp.zeros((g,), dtype=dtype)
+    for lo in range(0, n, chunk_rows):
+        blk = jnp.asarray(
+            x[lo : lo + chunk_rows].toarray().astype(dtype))
+        gg, cs = _gram_chunk(blk)
+        gram = gram + gg
+        colsum = colsum + cs
+    gram = np.asarray(jax.device_get(gram))
+    mean = np.asarray(jax.device_get(colsum)) / n
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    evals = evals[::-1]
+    evecs = evecs[:, ::-1]
+    comps = np.ascontiguousarray(evecs[:, :n_comps])
+    comps_dev = jnp.asarray(comps.astype(dtype))
+    shift = jnp.asarray((mean @ comps).astype(dtype))
+    parts = [
+        _project_chunk(
+            jnp.asarray(x[lo : lo + chunk_rows].toarray().astype(dtype)),
+            comps_dev, shift)
+        for lo in range(0, n, chunk_rows)
+    ]
+    scores_dev = jnp.concatenate(parts, axis=0)
+    return scores_dev, evals[:n_comps], comps, float(cov.trace())
+
+
 def pca_array(x, n_comps=50):
     """Return (scores (N, n_comps), explained variance, components)."""
     x = jnp.asarray(x)
@@ -71,18 +139,25 @@ def pca(data, n_comps=50, key_added="X_pca"):
     """
     if data.X is None:
         raise ValueError("data.X is required for PCA")
+    import scipy.sparse as sp
+
     from ..utils.profiling import global_profiler
 
     _prof = global_profiler()
-    x = jnp.asarray(data.X)
-    n_comps = min(n_comps, x.shape[1], x.shape[0])
-    with _prof.phase("pca_compute", cells=int(x.shape[0])):
-        scores_dev, variance, components, total_var = _pca_device(x, n_comps)
+    n_comps = min(n_comps, data.X.shape[1], data.X.shape[0])
+    with _prof.phase("pca_compute", cells=int(data.X.shape[0])):
+        if sp.issparse(data.X):
+            scores_dev, variance, components, total_var = _pca_sparse(
+                data.X, n_comps)
+        else:
+            x = jnp.asarray(data.X)
+            scores_dev, variance, components, total_var = _pca_device(
+                x, n_comps)
         scores_dev.block_until_ready()
     with _prof.phase("pca_d2h"):
         scores = np.asarray(jax.device_get(scores_dev))
     data.obsm[key_added] = scores
-    data.uns[_PCA_DEV_KEY] = (scores, scores_dev)
+    data.uns[_PCA_DEV_KEY] = (scores, scores_dev, _rep_fingerprint(scores))
     data.uns["pca"] = {
         "variance": variance,
         "variance_ratio": variance / total_var,
@@ -91,10 +166,22 @@ def pca(data, n_comps=50, key_added="X_pca"):
     return data.obsm[key_added]
 
 
+def _rep_fingerprint(arr):
+    """Cheap content fingerprint of a host score array: shape, dtype, and
+    a strided element sample.  Guards the device-twin cache against
+    in-place mutation of ``obsm['X_pca']`` (object identity alone would
+    serve a stale device copy)."""
+    arr = np.asarray(arr)
+    flat = arr.ravel()
+    sample = flat[:: max(flat.size // 64, 1)][:64]
+    return (arr.shape, str(arr.dtype), sample.tobytes())
+
+
 def device_rep(data, rep):
     """The device-array twin of ``rep`` if it is this ``pca``'s output
-    (identity-matched), else ``rep`` itself."""
+    (same object AND unchanged content), else ``rep`` itself."""
     cached = data.uns.get(_PCA_DEV_KEY)
-    if cached is not None and cached[0] is rep:
+    if (cached is not None and cached[0] is rep
+            and cached[2] == _rep_fingerprint(rep)):
         return cached[1]
     return rep

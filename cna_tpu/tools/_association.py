@@ -280,14 +280,18 @@ def check_inputs(data, y, sid_name, batches, covs, donorids,
     checks, index containment, batch/donor mutual exclusion, default
     all-ones batches, NaN-based sample filtering, minimum-sample gate.
     """
-    if not isinstance(y, pd.Series):
-        raise TypeError(f"'y' must be a pandas Series, but got {type(y)}")
-    if batches is not None and not isinstance(batches, pd.Series):
-        raise TypeError(f"'batches' must be a pandas Series, but got {type(batches)}")
-    if covs is not None and not isinstance(covs, pd.DataFrame):
-        raise TypeError(f"'covs' must be a pandas DataFrame, but got {type(covs)}")
-    if donorids is not None and not isinstance(donorids, pd.Series):
-        raise TypeError(f"'donorids' must be a pandas Series, but got {type(donorids)}")
+    def _require(name, value, kind):
+        if value is not None and not isinstance(value, kind):
+            raise TypeError(
+                f"expected {name} as a pandas {kind.__name__} "
+                f"(sample-indexed); received {type(value).__name__}")
+
+    _require("y", y, pd.Series)
+    _require("batches", batches, pd.Series)
+    _require("covs", covs, pd.DataFrame)
+    _require("donorids", donorids, pd.Series)
+    if y is None:
+        raise TypeError("expected y as a pandas Series; received None")
     if not set(y.index).issubset(set(data.obs[sid_name])):
         print("WARNING: the index of 'y' has entries that never appear in "
               "data.obs[sid_name]; those samples will be ignored.")
@@ -338,13 +342,15 @@ def compute_nam_and_reindex(data, y, sid_name, batches, covs, donorids,
     """
     NAM, kept = nam(data, sid_name, batches=batches, nsteps=nsteps,
                     show_progress=show_progress, **kwargs)
-    NAM = NAM.reindex(y.index)
+    NAM = NAM.reindex(y.index)[filter_samples]
 
-    NAM = NAM[filter_samples]
-    zero_variance_col_ix = np.where(NAM.std(axis=0) == 0)[0]
-    nz_ix = np.flatnonzero(kept)
-    kept[nz_ix[zero_variance_col_ix]] = False
-    NAM = NAM.drop(columns=NAM.columns[zero_variance_col_ix])
+    # after the sample filter some neighborhoods may be constant; they
+    # carry no signal and would break standardization — drop them and
+    # clear their cells from the QC-survivor mask
+    constant = (NAM.std(axis=0) == 0).to_numpy()
+    surviving_cells = np.flatnonzero(kept)
+    kept[surviving_cells[constant]] = False
+    NAM = NAM.loc[:, ~constant]
 
     return (NAM, kept,
             batches.reindex(y.index),
@@ -376,8 +382,8 @@ def _compute_nam_arrays_and_reindex(data, y, sid_name, batches, covs,
 
     stds = moments.colstd(nam_f, ddof=1, axis=0)
     zero_var = fetch(stds) == 0
-    nz_ix = np.flatnonzero(kept)
-    kept[nz_ix[np.nonzero(zero_var)[0]]] = False
+    surviving_cells = np.flatnonzero(kept)
+    kept[surviving_cells[np.nonzero(zero_var)[0]]] = False
     cells = arrays.cells
     if zero_var.any():
         nam_f = jnp.take(nam_f, jnp.asarray(np.nonzero(~zero_var)[0]), axis=1)

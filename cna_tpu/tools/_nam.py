@@ -157,12 +157,20 @@ _DIFFUSION_PATH_KEY = "_cna_tpu_diffusion_path"
 def get_halo_plan(data, n_shards):
     """Halo-exchange plan over ``n_shards`` cell shards, cached in uns.
 
-    Built from a full-width (overflow-free) ELL pack of the connectivity
-    so every edge participates in the exchange plan.  Returns ``None``
-    when a plan cannot represent the graph (an imported ``EllGraph``
-    carrying COO overflow edges) — callers fall back to the GSPMD path.
+    The cell axis is **locality-ordered first** (kd-order bisection of the
+    PCA embedding, RCM on the graph as fallback) so each shard owns a
+    graph-clustered block — input-order blocks on a kNN graph ship
+    near-all-gather ghost volumes (measured 2.92 of a max 3.0 at 4
+    shards on the demo data), while the clustered blocks keep only true
+    boundary rows in the exchange (SURVEY §5.7).
+
+    Returns ``(plan, ordering)``; ``ordering`` is the applied
+    ``Reordering`` (``None`` for a pre-packed device graph, which the
+    caller must use as-is).  ``(None, None)`` when a plan cannot
+    represent the graph (an imported ``EllGraph`` carrying COO overflow
+    edges) — callers fall back to the GSPMD path.
     """
-    from ..parallel.halo import build_halo_plan
+    from ..parallel.halo import build_halo_plan, build_halo_plan_csr
 
     conn = get_connectivity(data)
     uns = getattr(data, "uns", None)
@@ -170,23 +178,31 @@ def get_halo_plan(data, n_shards):
     if uns is not None:
         cached = uns.get(key)
         if cached is not None and cached[0] is conn:
-            return cached[1]
+            return cached[1], cached[2]
 
+    ordering = None
     if isinstance(conn, EllGraph):
         if conn.n_overflow:
-            return None
+            return None, None
         plan = build_halo_plan(
             np.asarray(conn.indices), np.asarray(conn.weights),
             np.asarray(conn.colsums_raw), n_shards)
     else:
-        from ..graph.ell import _pack_ell_host
+        from ..graph.reorder import permute_graph
 
-        parts = _pack_ell_host(conn, width_percentile=100.0)
-        plan = build_halo_plan(parts["indices"], parts["weights"],
-                               parts["colsums"], n_shards)
+        obsm = getattr(data, "obsm", None) or {}
+        if "X_pca" in obsm:
+            from ..graph.partition import partition_ordering
+
+            ordering = partition_ordering(conn, obsm["X_pca"], n_shards)
+        else:
+            from ..graph.reorder import rcm_ordering
+
+            ordering = rcm_ordering(conn)
+        plan = build_halo_plan_csr(permute_graph(conn, ordering), n_shards)
     if uns is not None:
-        uns[key] = (conn, plan)
-    return plan
+        uns[key] = (conn, plan, ordering)
+    return plan, ordering
 
 
 def _auto_block_rows(n, k, s):
@@ -425,13 +441,15 @@ def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
         cell_shards = dict(
             zip(mesh.axis_names, mesh.devices.shape)).get(meshlib.CELLS, 1)
         if cell_shards > 1 and user_fmt in (None, "ell"):
-            plan = get_halo_plan(data, cell_shards)
+            plan, halo_order = get_halo_plan(data, cell_shards)
             if plan is not None:
                 from ..parallel.halo import place_plan
 
                 dtype = plan.local_weights.dtype
                 n_pad = plan.n_shards * plan.shard_rows
-                codes_p = np.pad(codes, (0, n_pad - codes.shape[0]),
+                codes_h = (codes[halo_order.perm] if halo_order is not None
+                           else codes)
+                codes_p = np.pad(codes_h, (0, n_pad - codes_h.shape[0]),
                                  constant_values=-1)
                 s0 = _onehot_device(jnp.asarray(codes_p), n_samples, dtype)
                 s0 = jax.device_put(s0, meshlib.cell_rows(mesh))
@@ -450,7 +468,12 @@ def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
                         f"ghost fraction {plan.ghost_fraction():.3f}")
                     _print_diffusion_trail(out, mk_buf, r2_buf, steps_taken,
                                            nsteps, maxnsteps)
-                nam = (s[:n_cells] / c_counts[None, :]).T  # (samples, cells)
+                # back to the caller's cell order (drops padding rows too)
+                if halo_order is not None:
+                    s = jnp.take(s, jnp.asarray(halo_order.inv), axis=0)
+                else:
+                    s = s[:n_cells]
+                nam = (s / c_counts[None, :]).T  # (samples, cells)
                 return NamArrays(nam=nam, samples=samples, cells=cells,
                                  nsteps=steps_taken)
 

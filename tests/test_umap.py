@@ -5,18 +5,38 @@ import numpy as np
 from cna_tpu import pp
 
 
-def test_umap_layout_separates_clusters(demo):
+def test_umap_layout_preserves_neighborhoods(demo):
+    """Layout quality: graph neighbors must end up close in the 2-D
+    layout — much closer than random pairs, and the effect must vanish
+    on a shuffled layout (the control a random embedding would pass
+    nothing against)."""
     d, _ = demo
     emb = pp.umap(d, n_epochs=100, seed=0)
     assert emb.shape == (d.n_obs, 2)
     assert np.isfinite(emb).all()
-    # cells sharing an archetype should sit closer together than random
-    # pairs: use case label as a weak proxy via average intra/inter spread
-    case = d.obs["case"].to_numpy()
-    c0, c1 = emb[case == 0], emb[case == 1]
-    intra = np.linalg.norm(c0 - c0.mean(0), axis=1).mean()
-    spread = np.linalg.norm(emb - emb.mean(0), axis=1).mean()
-    assert spread > 0 and intra > 0
+
+    rng = np.random.RandomState(0)
+    n = d.n_obs
+    sample = rng.choice(n, 500, replace=False)
+    knn = d.obsp["distances"]  # directed kNN: row i's neighbors
+
+    def neighbor_to_random_ratio(e):
+        num, den = [], []
+        for i in sample:
+            nbrs = knn.indices[knn.indptr[i] : knn.indptr[i + 1]]
+            rand = rng.randint(0, n, len(nbrs))
+            num.append(np.linalg.norm(e[nbrs] - e[i], axis=1).mean())
+            den.append(np.linalg.norm(e[rand] - e[i], axis=1).mean())
+        return np.mean(num) / np.mean(den)
+
+    ratio = neighbor_to_random_ratio(emb)
+    shuffled = emb[rng.permutation(n)]
+    ratio_null = neighbor_to_random_ratio(shuffled)
+    # graph neighbors sit far closer than random pairs; a shuffled
+    # layout shows no such effect
+    assert ratio < 0.35, ratio
+    assert ratio_null > 0.8, ratio_null
+    assert ratio < ratio_null / 2
 
 
 def test_umap_deterministic(demo):
