@@ -251,6 +251,19 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
     def _round_up(v, mult):
         return ((int(v) + mult - 1) // mult) * mult
 
+    def _pow2_up(v):
+        return 1 << max(int(v) - 1, 0).bit_length()
+
+    def _bucket_up(v):
+        """Quarter-octave shape bucket (..., 128, 160, 192, 224, 256,
+        320, ...): pilot rounds / nprobe escalations with nearby probe
+        counts reuse the SAME compiled program (each fresh shape costs a
+        20-60 s tunnel compile — unbucketed shapes were the round-2 cold
+        blowup, 1457 s at 100k cells) while padded dummy probes waste
+        <= 25% of the scoring FLOPs."""
+        step = max(_pow2_up(v) // 4, 8)
+        return _round_up(v, step)
+
     def _score_subset(np_eff, slot_ids):
         """Score ``slot_ids`` at ``np_eff``; returns slot-major raw
         (negd_s, idx_s) in SORTED row coordinates."""
@@ -258,9 +271,9 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
         probe_c = probe_order[:, :np_eff]
         sel = np.asarray(slot_ids, np.int64)
         ns_real = len(sel)
-        max_slots = _round_up(max(
+        max_slots = _bucket_up(max(
             sum(len(slots_of_cluster[cj]) for cj in probe_c[ci])
-            for ci in np.unique(slot_cluster[sel])), 8)
+            for ci in np.unique(slot_cluster[sel])))
         ns = _round_up(ns_real, 64)
         probe_starts = np.full((ns, max_slots), dummy_start, np.int32)
         probe_counts = np.zeros((ns, max_slots), np.int32)
@@ -279,6 +292,8 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
         probe_chunk = 16
         per_slot = probe_chunk * m * m + 2 * max_slots * m * min(k, m)
         chunk = max(1, min(ns, int(2.2e8 // max(per_slot, 1)) or 1))
+        if chunk > 1:  # power-of-two bucket: reuse compiled programs
+            chunk = _pow2_up(chunk + 1) // 2
         negd_s, idx_s = _score_slots(
             x_sorted_dev, jnp.asarray(slot_starts_x[sel_pad]),
             jnp.asarray(slot_counts_x[sel_pad]), jnp.asarray(probe_starts),
@@ -289,17 +304,16 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
         with _prof.phase(f"ivf_search(nprobe={np_eff})", cells=n):
             negd_s, idx_s = _score_subset(np_eff, np.arange(s))
 
-        # --- 5. unsort back to input order ---
+        # --- 5. unsort back to input order (vectorized: slots tile the
+        # sorted row space [0, n) contiguously and in order, so one
+        # validity mask flattens all slots at once) ---
+        valid = np.arange(m, dtype=np.int32)[None, :] < slot_counts[:, None]
+        rows_sorted = (slot_starts[:, None] + np.arange(m))[valid]
+        rows_orig = order[rows_sorted]
         indices = np.zeros((n, k), np.int32)
         dists = np.zeros((n, k), np.float32)
-        for si in range(s):
-            cnt = int(slot_counts[si])
-            if cnt == 0:
-                continue
-            rows_sorted = slot_starts[si] + np.arange(cnt)
-            rows_orig = order[rows_sorted]
-            indices[rows_orig] = order[np.clip(idx_s[si, :cnt], 0, n - 1)]
-            dists[rows_orig] = np.sqrt(np.maximum(-negd_s[si, :cnt], 0.0))
+        indices[rows_orig] = order[np.clip(idx_s[valid], 0, n - 1)]
+        dists[rows_orig] = np.sqrt(np.maximum(-negd_s[valid], 0.0))
 
         # contract: self is the first neighbor at distance 0
         self_col = indices == np.arange(n)[:, None]

@@ -1,0 +1,93 @@
+"""Halo-exchange weak-scaling evidence (SURVEY §6: efficiency at 1 chip /
+1 host / >=2 hosts; this rig has one chip, so the interconnect story is
+reported as measured per-step BYTES and FLOPs as a function of shard
+count, on the 100k-cell manifold synthetic).
+
+For each shard count D: build the graph-partitioned halo plan, record
+ghost fraction, true/padded exchange bytes per diffusion step vs the
+GSPMD all-gather alternative, plan construction wall-clock, and the
+per-shard SpMM FLOPs.  Writes HALO_SCALING.json.
+
+Run on the CPU backend (plan construction is host+device-light):
+    python scripts/halo_scaling.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from cna_tpu import pp
+from cna_tpu.data import synthetic_dataset
+from cna_tpu.graph.partition import partition_ordering
+from cna_tpu.graph.reorder import permute_graph
+from cna_tpu.parallel.halo import build_halo_plan_csr
+
+N_CELLS = int(os.environ.get("CNA_BENCH_CELLS", 100_000))
+N_SAMPLES = int(os.environ.get("CNA_BENCH_SAMPLES", 200))
+S_COLS = N_SAMPLES  # diffusion state width = samples
+ITEM = 4  # f32
+
+t0 = time.time()
+d, _ = synthetic_dataset(
+    n_samples=N_SAMPLES, cells_per_sample=N_CELLS // N_SAMPLES,
+    n_genes=50, seed=0, structure="manifold")
+pp.pca(d, n_comps=20)
+pp.neighbors(d, n_neighbors=15)
+conn = d.obsp["connectivities"].tocsr()
+print(f"graph built: {time.time() - t0:.1f}s nnz={conn.nnz}", flush=True)
+
+rows = []
+for n_shards in (2, 4, 8, 16, 32):
+    t1 = time.time()
+    ordering = partition_ordering(conn, d.obsm["X_pca"], n_shards)
+    t_order = time.time() - t1
+    t1 = time.time()
+    plan = build_halo_plan_csr(permute_graph(conn, ordering), n_shards)
+    t_plan = time.time() - t1
+    stats = plan.exchange_stats(S_COLS, ITEM)
+    # per-shard SpMM work per step: local ELL + hub MACs x state width
+    d_, nd, k1 = plan.local_indices.shape
+    hub_macs = int(np.prod(plan.hub_indices.shape[1:]))
+    flops_per_shard = 2 * (nd * k1 + hub_macs) * S_COLS
+    rows.append({
+        "n_shards": n_shards,
+        "ghost_fraction": round(stats["ghost_fraction"], 4),
+        "ghost_bytes_per_step": stats["ghost_bytes"],
+        "padded_bytes_per_step": stats["padded_bytes"],
+        "allgather_bytes_per_step": stats["allgather_bytes"],
+        "bytes_vs_allgather": round(
+            stats["padded_bytes"] / stats["allgather_bytes"], 4),
+        "flops_per_shard_per_step": flops_per_shard,
+        "partition_s": round(t_order, 2),
+        "plan_build_s": round(t_plan, 2),
+    })
+    print(rows[-1], flush=True)
+
+out = {
+    "workload": {
+        "cells": N_CELLS, "samples": N_SAMPLES, "n_neighbors": 15,
+        "structure": "manifold", "state_cols": S_COLS, "itemsize": ITEM,
+    },
+    "note": (
+        "Per-diffusion-step interconnect bytes of the graph-partitioned "
+        "halo plan vs the dense GSPMD all-gather, plus plan-build cost "
+        "and per-shard SpMM FLOPs, as a function of shard count. "
+        "Weak-scaling reading: all-gather bytes are ~(D-1)/D * N * S * 4 "
+        "regardless of partition quality; the halo's bytes track the "
+        "measured ghost fraction instead."),
+    "scaling": rows,
+}
+path = os.path.join(os.path.dirname(__file__), "..", "HALO_SCALING.json")
+with open(path, "w") as f:
+    json.dump(out, f, indent=1)
+print(f"wrote {os.path.abspath(path)}")
