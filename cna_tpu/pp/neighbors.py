@@ -105,6 +105,59 @@ def membership_strengths(dists, rho, sigma, indices=None):
     return jnp.where(self_edge, 0.0, w)
 
 
+@jax.jit
+def _union_chunk(idx_chunk, w_chunk, indices, w, row0):
+    """Fuzzy union + mutuality mask for one row chunk of the kNN lists.
+
+    For directed edge (i, j) with strength a = w[i, s]: the reverse
+    strength b = w[j, t] where indices[j, t] == i (0 if j's list lacks
+    i) is found with one gather of j's neighbor list + an equality
+    mask — no sort.  Returns (a + b - a*b, b-was-present).
+    """
+    nbr_idx = indices[idx_chunk]  # (B, k, k) row-gather
+    nbr_w = w[idx_chunk]          # (B, k, k)
+    i_of_edge = row0 + jnp.arange(idx_chunk.shape[0], dtype=jnp.int32)
+    match = nbr_idx == i_of_edge[:, None, None]
+    b = jnp.sum(jnp.where(match, nbr_w, 0.0), axis=-1)  # (B, k)
+    # emission plan, decided edge-by-edge so each undirected pair lands
+    # in the matrix exactly once per direction even when one side's
+    # strength underflowed to 0: the side with a > 0 owns the entry,
+    # and also owns the mirror unless the partner emits it itself
+    pos = w_chunk > 0
+    mirror = pos & ~(b > 0)
+    code = pos.astype(jnp.int8) + 2 * mirror.astype(jnp.int8)
+    return w_chunk + b - w_chunk * b, code
+
+
+def fuzzy_union_device(indices_dev, w_dev, chunk_rows=262_144):
+    """Symmetrized fuzzy-union strengths aligned to the kNN edge list.
+
+    Returns (w_sym (N, k) float, code (N, k) int8) on device:
+    ``w_sym[i, s] = a + b - a*b`` for the directed edge
+    i -> indices[i, s]; ``code`` bit 0 says "emit (i, j, w_sym)", bit 1
+    says "also emit the mirror (j, i, w_sym)" (set exactly when the
+    partner's own row will not emit it).  Because both a and b are
+    elements of the SAME device weight array and a+b-a*b is evaluated
+    identically from either side, the resulting matrix is float-exact
+    symmetric.  Row chunks bound the (B, k, k) gather at ~60 MB.  TPU
+    row-gather granularity makes this ~2 x (N fetches x 4KB-tile)
+    traffic (see CLAUDE.md row-gather invariant) — ~1 s per pass at 1M
+    cells, vs ~15-20 s for the host radix-sort union it replaces.
+    Requires each row's neighbor list to be duplicate-free (true of
+    every kNN search in ``pp.knn``)."""
+    n = indices_dev.shape[0]
+    outs = []
+    for lo in range(0, n, chunk_rows):
+        hi = min(lo + chunk_rows, n)
+        outs.append(_union_chunk(
+            indices_dev[lo:hi], w_dev[lo:hi], indices_dev, w_dev,
+            jnp.asarray(lo, jnp.int32)))
+    if len(outs) == 1:
+        return outs[0]
+    return (jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=0))
+
+
 def _fuzzy_union_edges(indices, w):
     """Probabilistic-union symmetrization directly on kNN edge lists.
 
@@ -176,24 +229,32 @@ def fuzzy_connectivities(indices, dists):
 
     Returns a scipy CSR (N x N): ``A + A^T - A o A^T``.
 
-    rho/sigma come from the vmapped on-device bisection; the membership
-    strengths themselves are evaluated host-side from the (already
-    host-resident) distances — the formula is one exp over N*k values,
-    and pulling the (N, k) weight matrix back through the tunneled d2h
-    path would cost more than recomputing it (CLAUDE.md: d2h ~8 MB/s).
+    The whole pipeline (rho/sigma bisection, membership strengths, and
+    the union itself via the gather-based mutual match in
+    ``fuzzy_union_device``) runs on device; the host only pulls the
+    (N, k) symmetric weights + emission codes (75 MB at 1M cells) and
+    assembles the CSR with boolean gathers — no host sort.  (The
+    previous host radix-sort union cost ~15-20 s at 1M cells on this
+    box's throttled CPU; see ``_fuzzy_union_edges``, kept as the
+    reference implementation for parity tests.)
     """
     idx_np = np.asarray(indices)
-    d_np = np.asarray(dists)
     n, k = idx_np.shape
-    rho, sigma = smooth_knn_dist(jnp.asarray(d_np),
-                                 jnp.log2(jnp.asarray(float(k))))
-    rho_np = np.asarray(rho)
-    sig_np = np.asarray(sigma)
-    w = np.exp(-np.maximum(d_np - rho_np[:, None], 0.0) / sig_np[:, None])
-    w[idx_np == np.arange(n)[:, None]] = 0.0  # self edges, by index
+    idx_dev = jnp.asarray(idx_np)
+    d_dev = jnp.asarray(dists)
+    rho, sigma = smooth_knn_dist(d_dev, jnp.log2(jnp.asarray(float(k))))
+    w_dev = membership_strengths(d_dev, rho, sigma, idx_dev)
+    w_sym_dev, code_dev = fuzzy_union_device(idx_dev, w_dev)
+    w_sym = np.asarray(w_sym_dev)
+    code = np.asarray(code_dev)
 
-    rows, cols, vals = _fuzzy_union_edges(idx_np, w)
-    result = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    rows2d = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None], (n, k))
+    direct = (code & 1).astype(bool)
+    mirror = (code & 2).astype(bool)
+    out_rows = np.concatenate([rows2d[direct], idx_np[mirror]])
+    out_cols = np.concatenate([idx_np[direct], rows2d[mirror]])
+    out_vals = np.concatenate([w_sym[direct], w_sym[mirror]])
+    result = sp.csr_matrix((out_vals, (out_rows, out_cols)), shape=(n, n))
     result.eliminate_zeros()
     return result
 

@@ -22,9 +22,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# default: CPU backend (plan construction is host+device-light).  At 1M
+# cells the graph build itself needs the TPU — set CNA_HALO_PLATFORM=
+# default to use the session's real backend, and CNA_GRAPH_CACHE=x.npz
+# to build the graph once and reuse it across invocations.
+if os.environ.get("CNA_HALO_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
+import scipy.sparse as sp
 
 from cna_tpu import pp
 from cna_tpu.data import synthetic_dataset
@@ -38,18 +44,32 @@ S_COLS = N_SAMPLES  # diffusion state width = samples
 ITEM = 4  # f32
 
 t0 = time.time()
-d, _ = synthetic_dataset(
-    n_samples=N_SAMPLES, cells_per_sample=N_CELLS // N_SAMPLES,
-    n_genes=50, seed=0, structure="manifold")
-pp.pca(d, n_comps=20)
-pp.neighbors(d, n_neighbors=15)
-conn = d.obsp["connectivities"].tocsr()
-print(f"graph built: {time.time() - t0:.1f}s nnz={conn.nnz}", flush=True)
+cache = os.environ.get("CNA_GRAPH_CACHE")
+if cache and os.path.exists(cache):
+    z = np.load(cache)
+    conn = sp.csr_matrix(
+        (z["data"], z["indices"], z["indptr"]), shape=tuple(z["shape"]))
+    x_pca = z["x_pca"]
+    print(f"graph loaded from {cache}: {time.time() - t0:.1f}s "
+          f"nnz={conn.nnz}", flush=True)
+else:
+    d, _ = synthetic_dataset(
+        n_samples=N_SAMPLES, cells_per_sample=N_CELLS // N_SAMPLES,
+        n_genes=50, seed=0, structure="manifold")
+    pp.pca(d, n_comps=20)
+    pp.neighbors(d, n_neighbors=15)
+    conn = d.obsp["connectivities"].tocsr()
+    x_pca = d.obsm["X_pca"]
+    if cache:
+        np.savez(cache, data=conn.data.astype(np.float32),
+                 indices=conn.indices, indptr=conn.indptr,
+                 shape=np.asarray(conn.shape), x_pca=x_pca)
+    print(f"graph built: {time.time() - t0:.1f}s nnz={conn.nnz}", flush=True)
 
 rows = []
 for n_shards in (2, 4, 8, 16, 32):
     t1 = time.time()
-    ordering = partition_ordering(conn, d.obsm["X_pca"], n_shards)
+    ordering = partition_ordering(conn, x_pca, n_shards)
     t_order = time.time() - t1
     t1 = time.time()
     plan = build_halo_plan_csr(permute_graph(conn, ordering), n_shards)
@@ -87,7 +107,9 @@ out = {
         "measured ghost fraction instead."),
     "scaling": rows,
 }
-path = os.path.join(os.path.dirname(__file__), "..", "HALO_SCALING.json")
+suffix = "" if N_CELLS == 100_000 else f"_{N_CELLS // 1000}k"
+path = os.path.join(os.path.dirname(__file__), "..",
+                    f"HALO_SCALING{suffix}.json")
 with open(path, "w") as f:
     json.dump(out, f, indent=1)
 print(f"wrote {os.path.abspath(path)}")

@@ -265,3 +265,48 @@ def test_umap_records_spectral_init(demo):
     d, _ = demo
     pp.umap(d, n_epochs=10, seed=1)
     assert d.uns["umap"]["init"] == "spectral"
+
+
+def test_fuzzy_union_device_matches_host_reference():
+    """The gather-based device union (fuzzy_union_device + the CSR
+    assembly in fuzzy_connectivities) must equal the host radix-sort
+    reference union exactly on duplicate-free kNN lists, including
+    non-mutual edges (mirror emission) and exact symmetry."""
+    import numpy as np
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+
+    from cna_tpu.pp.neighbors import _fuzzy_union_edges, fuzzy_union_device
+
+    rng = np.random.RandomState(11)
+    n, k = 1500, 9
+    # duplicate-free neighbor lists: per-row random draw w/o replacement
+    # (diagonal forced to sort last so self never appears in the body)
+    r_mat = rng.rand(n, n)
+    r_mat[np.arange(n), np.arange(n)] = 2.0
+    idx = np.argsort(r_mat, axis=1)[:, : k - 1].astype(np.int32)
+    idx = np.concatenate([np.arange(n, dtype=np.int32)[:, None], idx], axis=1)
+    w = rng.rand(n, k)
+    w[:, 0] = 0.0  # self edges
+
+    r, c, v = _fuzzy_union_edges(idx, w)
+    want = sp.csr_matrix((v, (r, c)), shape=(n, n))
+    want.eliminate_zeros()
+
+    w_sym, code = fuzzy_union_device(jnp.asarray(idx), jnp.asarray(w),
+                                     chunk_rows=512)
+    w_sym, code = np.asarray(w_sym), np.asarray(code)
+    rows2d = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None], (n, k))
+    direct = (code & 1).astype(bool)
+    mirror = (code & 2).astype(bool)
+    got = sp.csr_matrix(
+        (np.concatenate([w_sym[direct], w_sym[mirror]]),
+         (np.concatenate([rows2d[direct], idx[mirror]]),
+          np.concatenate([idx[direct], rows2d[mirror]]))), shape=(n, n))
+    got.eliminate_zeros()
+    # identical sparsity pattern; values equal up to FMA contraction
+    # (XLA may fuse a*b into the subtract, a 1-ulp difference)
+    assert (abs(want) > 0).astype(int).toarray().tolist() == \
+        (abs(got) > 0).astype(int).toarray().tolist()
+    np.testing.assert_allclose(got.toarray(), want.toarray(), rtol=1e-14)
+    assert (got != got.T).nnz == 0  # float-exact symmetry
