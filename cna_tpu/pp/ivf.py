@@ -164,9 +164,21 @@ def measured_recall(x, indices, k, sample=512, seed=0, exact=True):
     return _recall_against(indices[q_ix], true_idx, k)
 
 
-def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
-            kmeans_sample=262_144, slot_rows=None, seed=0,
-            min_recall=0.9, recall_sample=512):
+
+@partial(jax.jit, static_argnames=("s1", "m", "d_pad"))
+def _build_x3(x_dev, gather_idx, s1, m, d_pad):
+    """Slot-blocked (S, m, d_pad) layout built ON device: one row-gather
+    of the already-resident points (h2d ships only the 4-byte/row index
+    vector), zero-padded to the Mosaic lane width."""
+    g = x_dev[gather_idx]
+    g = jnp.pad(g, ((0, 0), (0, d_pad - g.shape[1])))
+    return g.reshape(s1, m, d_pad).astype(jnp.float32)
+
+
+def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
+            kmeans_sample=524_288, slot_rows=None, seed=0,
+            min_recall=0.9, recall_sample=512, use_pallas=None,
+            pallas_interpret=False):
     """Approximate self-kNN via an on-device IVF-flat index.
 
     Returns (indices (N, k) int32, distances (N, k) float32) sorted by
@@ -175,23 +187,41 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
 
     Recall depends on the data's metric structure (true of every ANN
     index).  Rather than documenting a caveat, the index MEASURES it:
-    after scoring, recall@k is estimated on ``recall_sample`` random
-    queries against the exact answer (one blocked distance matmul);
-    while it is below ``min_recall`` the search re-runs with doubled
-    ``nprobe``, up to probing every cluster (recall then limited only
-    by ``approx_max_k``'s ~0.99 within the probed set).  A warning is
-    raised if the floor is unreachable.  Set ``min_recall=None`` to
-    disable the measurement.  Use ``method='pallas'`` (exact, O(N^2))
-    if in doubt.
+    recall@k is estimated against an exact-kNN sample and ``nprobe`` is
+    calibrated on a slot-subsample pilot before the full search; while
+    the measured recall is below ``min_recall`` the search re-runs with
+    escalated ``nprobe``.  A warning is raised if the floor is
+    unreachable.  Set ``min_recall=None`` to disable.  Use
+    ``method='pallas'`` (exact, O(N^2)) if in doubt.
+
+    Two scoring paths share one index structure:
+
+    * **TPU (default on TPU)** — fine clusters (~192 rows) scored by the
+      Pallas kernel in ``ops.ivf_pallas`` with a FIXED 256-row slot
+      geometry.  Fine clusters matter for recall, not just speed: probe
+      lists are ranked by the distance of the query's own cluster
+      centroid to candidate centroids (tile-regular), and with coarse
+      ~1000-cell clusters that slot-level ranking measured recall 0.82
+      at 12.5% coverage where true per-query ranking reaches 0.997 —
+      the cluster radius, not the cluster selection, is the recall
+      bottleneck.  Shrinking the radius (c ~ n/192) closes the gap.
+    * **XLA (CPU and any non-TPU backend)** — the
+      ``approx_max_k``-based ``_score_slots`` with data-adaptive slot
+      rows, coarser clusters (c ~ n/1024).
     """
     from ..utils.profiling import global_profiler
 
     _prof = global_profiler()
     x = np.asarray(points, dtype=np.float32)
     n, d = x.shape
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
     if n_clusters is None:
-        n_clusters = int(np.clip(n // 1024, 16, 8192))
+        n_clusters = (int(np.clip(n // 192, 16, 8192)) if use_pallas
+                      else int(np.clip(n // 1024, 16, 8192)))
     c = int(min(n_clusters, max(n // 8, 1)))
+    if kmeans_iters is None:
+        kmeans_iters = 12 if use_pallas else 8
     x_dev = jnp.asarray(x)
 
     # --- 1. centroids (fit on a subsample for huge N) ---
@@ -206,59 +236,28 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
         cent = _kmeans_fit(fit_x, init_idx, c, kmeans_iters)
         cid = np.asarray(_assign(x_dev, cent))
 
-    # --- 2. sort by cluster; cut clusters into <= M-row slots ---
+    # --- 2. slot structure (shared by both scoring paths) ---
     order = np.argsort(cid, kind="stable").astype(np.int32)
     sizes = np.bincount(cid, minlength=c)
-    if slot_rows is None:
-        m = int(np.ceil(1.25 * n / c / 8) * 8)
-    else:
+    if slot_rows is not None:
         m = slot_rows
+    elif use_pallas:
+        m = 256  # fixed: stable compiled shapes; fits the packed-id bits
+    else:
+        m = int(np.ceil(1.25 * n / c / 8) * 8)
+    nslots_c = np.maximum(-(-sizes // m), 1).astype(np.int64)
+    slot_cluster = np.repeat(np.arange(c, dtype=np.int64), nslots_c)
+    s = len(slot_cluster)
+    cluster_slot0 = np.concatenate([[0], np.cumsum(nslots_c)[:-1]])
+    slot_within = np.arange(s, dtype=np.int64) - cluster_slot0[slot_cluster]
+    slot_counts = np.clip(sizes[slot_cluster] - slot_within * m,
+                          0, m).astype(np.int32)
     starts_of_cluster = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-    slot_starts, slot_counts, slot_cluster = [], [], []
-    for ci in range(c):
-        sz, st = int(sizes[ci]), int(starts_of_cluster[ci])
-        off = 0
-        while True:
-            take = min(m, sz - off)
-            slot_starts.append(st + off)
-            slot_counts.append(max(take, 0))
-            slot_cluster.append(ci)
-            off += take
-            if off >= sz:
-                break
-    slot_starts = np.asarray(slot_starts, np.int32)
-    slot_counts = np.asarray(slot_counts, np.int32)
-    slot_cluster = np.asarray(slot_cluster, np.int32)
-    s = len(slot_starts)
-
-    # cluster-to-cluster distances (nprobe-independent)
-    cn = np.asarray(cent)
-    cd2 = ((cn[:, None, :] - cn[None, :, :]) ** 2).sum(-1) if c <= 1024 \
-        else None
-    if cd2 is None:
-        cc = np.asarray(jnp.sum(cent * cent, axis=1))
-        cd2 = cc[:, None] + cc[None, :] - 2.0 * np.asarray(cent @ cent.T)
-    probe_order = np.argsort(cd2, axis=1)  # (C, C) incl self first
-
-    slots_of_cluster = [[] for _ in range(c)]
-    for si, ci in enumerate(slot_cluster):
-        slots_of_cluster[ci].append(si)
-
-    # dummy slot: start in the padded tail, count 0 -> -inf contributions.
-    # NOTE: every (start, start+m) window must stay in bounds — XLA's
-    # dynamic_slice CLAMPS out-of-range starts, which silently shifts the
-    # window and misaligns queries with their output rows.
-    dummy_start = n
-    n_rows = int(max(int(slot_starts.max()) if s else 0, dummy_start) + m)
-    x_sorted = np.zeros((n_rows, d), np.float32)
-    x_sorted[:n] = x[order]
-    x_sorted_dev = jnp.asarray(x_sorted)
-    # slot index s is a zero-count dummy used to pad selections up to a
-    # shape bucket, so pilot/full searches across datasets of the same
-    # size hit the SAME compiled program (each fresh shape costs a
-    # tunnel compile)
-    slot_starts_x = np.append(slot_starts, np.int32(dummy_start))
-    slot_counts_x = np.append(slot_counts, np.int32(0))
+    # slot position in the cluster-PACKED (argsort) coordinate system —
+    # pilot bookkeeping below uses these regardless of scoring layout
+    slot_sorted_start = (starts_of_cluster[slot_cluster]
+                         + slot_within * m).astype(np.int64)
+    dummy_slot = s  # one extra count-0 slot pads probe lists / batches
 
     def _round_up(v, mult):
         return ((int(v) + mult - 1) // mult) * mult
@@ -276,51 +275,136 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
         step = max(_pow2_up(v) // 4, 8)
         return _round_up(v, step)
 
+    # --- probe caps ---
+    avg_slots = max(float(nslots_c.mean()), 1.0)
+    if use_pallas:
+        # probe lists live in SMEM (scalar prefetch): cap the slot count
+        np_max = int(min(c, max(8, int(2048 / avg_slots))))
+    else:
+        np_mem_cap = max(int(1.5e9 / max(2 * m * min(k, m) * 4, 1)), 8)
+        np_max = int(min(c, np_mem_cap))
+    np_eff = int(min(nprobe, np_max))
+
+    # --- cluster-to-cluster probe ranking (top-np_max only) ---
+    cn_host = np.asarray(cent)
+    cc = (cn_host * cn_host).sum(axis=1)
+    cd2 = cc[:, None] + cc[None, :] - 2.0 * (cn_host @ cn_host.T)
+    if np_max < c - 1:
+        part = np.argpartition(cd2, np_max, axis=1)[:, : np_max + 1]
+        sub = np.take_along_axis(cd2, part, axis=1)
+        probe_order = np.take_along_axis(part, np.argsort(sub, axis=1),
+                                         axis=1)
+    else:
+        probe_order = np.argsort(cd2, axis=1)
+
+    # --- 3. device layout ---
+    if use_pallas:
+        # slot-blocked: slot sid owns rows [sid*m, sid*m + count)
+        csum = np.concatenate([[0], np.cumsum(slot_counts)[:-1]])
+        intra = np.arange(n, dtype=np.int64) - np.repeat(csum, slot_counts)
+        layout_pos = (np.repeat(np.arange(s, dtype=np.int64) * m,
+                                slot_counts) + intra)
+        sorted_pos = np.repeat(slot_sorted_start, slot_counts) + intra
+        orig_ids = order[sorted_pos]
+        n_rows = (s + 1) * m
+        gather_idx = np.zeros(n_rows, np.int32)
+        gather_idx[layout_pos] = orig_ids
+        cand_to_orig = np.zeros(n_rows, np.int32)
+        cand_to_orig[layout_pos] = orig_ids
+        d_pad = max(128, _round_up(d, 128))
+        x3 = _build_x3(x_dev, jnp.asarray(gather_idx), s + 1, m, d_pad)
+        slot_counts_dev = jnp.asarray(
+            np.append(slot_counts, np.int32(0)))
+        slot_layout_start = np.arange(s, dtype=np.int64) * m
+    else:
+        dummy_start = n
+        n_rows = max(int(slot_sorted_start.max()) if s else 0,
+                     dummy_start) + m
+        x_sorted = np.zeros((n_rows, d), np.float32)
+        x_sorted[:n] = x[order]
+        x_sorted_dev = jnp.asarray(x_sorted)
+        slot_starts_x = np.append(slot_sorted_start.astype(np.int32),
+                                  np.int32(dummy_start))
+        slot_counts_x = np.append(slot_counts, np.int32(0))
+        cand_to_orig = np.concatenate(
+            [order, np.zeros(n_rows - n, np.int32)])
+        slot_layout_start = slot_sorted_start
+
+    def _build_probe_ids(np_eff, query_clusters):
+        """(Q, P) slot-id probe lists for the np_eff nearest clusters of
+        each query cluster, padded with the dummy slot.  Fully
+        vectorized (np.repeat/cumsum ragged expansion) — the previous
+        per-(slot, probe) Python loop was O(ns * nprobe)."""
+        pc = probe_order[np.asarray(query_clusters)][:, :np_eff]
+        cnts = nslots_c[pc]  # (Q, np_eff) slots contributed per probe
+        tot = cnts.sum(axis=1)
+        p_bucket = _bucket_up(int(tot.max()) if len(tot) else 1)
+        q_n = len(pc)
+        out = np.full((q_n, p_bucket), dummy_slot, np.int32)
+        reps = cnts.ravel()
+        colstart = np.cumsum(cnts, axis=1) - cnts  # exclusive, per row
+        flat_total = int(reps.sum())
+        intra2 = (np.arange(flat_total, dtype=np.int64)
+                  - np.repeat(np.cumsum(reps) - reps, reps))
+        rows_flat = np.repeat(np.arange(q_n * np_eff) // np_eff, reps)
+        cols_flat = np.repeat(colstart.ravel(), reps) + intra2
+        vals = np.repeat(cluster_slot0[pc.ravel()], reps) + intra2
+        out[rows_flat, cols_flat] = vals.astype(np.int32)
+        return out
+
     def _score_subset(np_eff, slot_ids):
         """Score ``slot_ids`` at ``np_eff``; returns slot-major raw
-        (negd_s, idx_s) in SORTED row coordinates."""
-        # --- 3. per-cluster probe lists -> padded per-slot slot lists ---
-        probe_c = probe_order[:, :np_eff]
+        (negd_s, idx_s) in LAYOUT coordinates.
+
+        Macro-batched: one moderate program dispatched ns/batch times
+        beats one giant program over every slot — a single multi-minute
+        dispatch is exactly what the tunneled runtime kills (measured:
+        the full 1M-cell search as ONE program reproducibly crashed the
+        TPU worker), and per-batch d2h pulls overlap the next batch's
+        compute instead of serializing after one monolithic wait."""
         sel = np.asarray(slot_ids, np.int64)
         ns_real = len(sel)
-        max_slots = _bucket_up(max(
-            sum(len(slots_of_cluster[cj]) for cj in probe_c[ci])
-            for ci in np.unique(slot_cluster[sel])))
-        # macro-batch: one moderate program dispatched ns/batch times
-        # beats one giant lax.map over every slot — a single multi-minute
-        # dispatch is exactly what the tunneled runtime kills (measured:
-        # the full 1M-cell search as ONE program reproducibly crashed the
-        # TPU worker), and per-batch d2h pulls overlap the next batch's
-        # compute instead of serializing after one monolithic wait.
-        batch = 256 if ns_real > 256 else _round_up(ns_real, 64)
+        probe_ids = _build_probe_ids(np_eff, slot_cluster[sel])
+        p_bucket = probe_ids.shape[1]
+        if use_pallas:
+            # probe lists are scalar-prefetched into SMEM (~1 MB): keep
+            # ns * P * 4 bytes under ~512 KB per dispatch
+            batch = int(np.clip(_pow2_up(480_000 // (4 * p_bucket) + 1) // 2,
+                                64, 512))
+        else:
+            batch = 256 if ns_real > 256 else _round_up(ns_real, 64)
         ns = _round_up(ns_real, batch)
-        probe_starts = np.full((ns, max_slots), dummy_start, np.int32)
-        probe_counts = np.zeros((ns, max_slots), np.int32)
-        for row, si in enumerate(sel):
-            ci = slot_cluster[si]
-            col = 0
-            for cj in probe_c[ci]:
-                for sj in slots_of_cluster[cj]:
-                    probe_starts[row, col] = slot_starts[sj]
-                    probe_counts[row, col] = slot_counts[sj]
-                    col += 1
+        probe_pad = np.full((ns, p_bucket), dummy_slot, np.int32)
+        probe_pad[:ns_real] = probe_ids
         sel_pad = np.concatenate(
-            [sel, np.full(ns - ns_real, s, np.int64)])
+            [sel, np.full(ns - ns_real, dummy_slot, np.int64)])
 
-        # --- 4. score ---
-        probe_chunk = 16
-        per_slot = probe_chunk * m * m + 2 * max_slots * m * min(k, m)
-        chunk = max(1, min(batch, int(2.2e8 // max(per_slot, 1)) or 1))
-        if chunk > 1:  # power-of-two bucket: reuse compiled programs
-            chunk = _pow2_up(chunk + 1) // 2
         handles = []
-        for lo in range(0, ns, batch):
-            hi = lo + batch
-            handles.append(_score_slots(
-                x_sorted_dev, jnp.asarray(slot_starts_x[sel_pad[lo:hi]]),
-                jnp.asarray(slot_counts_x[sel_pad[lo:hi]]),
-                jnp.asarray(probe_starts[lo:hi]),
-                jnp.asarray(probe_counts[lo:hi]), k, m, chunk, probe_chunk))
+        if use_pallas:
+            from ..ops.ivf_pallas import score_slots_pallas
+
+            for lo in range(0, ns, batch):
+                hi = lo + batch
+                handles.append(score_slots_pallas(
+                    x3, jnp.asarray(sel_pad[lo:hi].astype(np.int32)),
+                    jnp.asarray(probe_pad[lo:hi]), slot_counts_dev, k, m,
+                    interpret=pallas_interpret))
+        else:
+            probe_chunk = 16
+            per_slot = (probe_chunk * m * m
+                        + 2 * p_bucket * m * min(k, m))
+            chunk = max(1, min(batch, int(2.2e8 // max(per_slot, 1)) or 1))
+            if chunk > 1:  # power-of-two bucket: reuse compiled programs
+                chunk = _pow2_up(chunk + 1) // 2
+            for lo in range(0, ns, batch):
+                hi = lo + batch
+                handles.append(_score_slots(
+                    x_sorted_dev,
+                    jnp.asarray(slot_starts_x[sel_pad[lo:hi]]),
+                    jnp.asarray(slot_counts_x[sel_pad[lo:hi]]),
+                    jnp.asarray(slot_starts_x[probe_pad[lo:hi]]),
+                    jnp.asarray(slot_counts_x[probe_pad[lo:hi]]),
+                    k, m, chunk, probe_chunk))
         if len(handles) == 1:
             negd_s, idx_s = handles[0]
             return np.asarray(negd_s[:ns_real]), np.asarray(idx_s[:ns_real])
@@ -329,25 +413,27 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
         idx_s = np.concatenate([p[1] for p in pulled])[:ns_real]
         return negd_s, idx_s
 
+    cand_clip = len(cand_to_orig) - 1
+
     def _search(np_eff):
         with _prof.phase(f"ivf_search(nprobe={np_eff})", cells=n):
             negd_s, idx_s = _score_subset(np_eff, np.arange(s))
 
-        # --- 5. unsort back to input order (vectorized: slots tile the
-        # sorted row space [0, n) contiguously and in order, so one
-        # validity mask flattens all slots at once) ---
+        # --- 4. unsort back to input order (vectorized: one validity
+        # mask flattens all slots at once) ---
         valid = np.arange(m, dtype=np.int32)[None, :] < slot_counts[:, None]
-        rows_sorted = (slot_starts[:, None] + np.arange(m))[valid]
-        rows_orig = order[rows_sorted]
+        rows_layout = (slot_layout_start[:, None] + np.arange(m))[valid]
+        rows_orig = cand_to_orig[rows_layout]
         indices = np.zeros((n, k), np.int32)
         dists = np.zeros((n, k), np.float32)
-        indices[rows_orig] = order[np.clip(idx_s[valid], 0, n - 1)]
+        indices[rows_orig] = cand_to_orig[np.clip(idx_s[valid], 0,
+                                                  cand_clip)]
         dists[rows_orig] = np.sqrt(np.maximum(-negd_s[valid], 0.0))
 
         # contract: self is the first neighbor at distance 0
         self_col = indices == np.arange(n)[:, None]
         has_self = self_col.any(axis=1)
-        # ensure self present (approx_max_k may rarely drop an exact tie)
+        # ensure self present (a top-k tie may rarely drop it)
         indices[:, 0] = np.where(has_self, indices[:, 0], np.arange(n))
         first = np.where(has_self, self_col.argmax(axis=1), 0)
         rr = np.arange(n)
@@ -364,34 +450,21 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
         dists[:, 1:] = np.take_along_axis(dists[:, 1:], body_ord, axis=1)
         return indices, dists
 
-    # --- 6. calibrate nprobe on a slot subsample, search, verify ---
-    # two guards bound the probe count: (a) the per-slot candidate set
-    # after per-probe reduction is (nprobe_slots, m, k) x2 — cap nprobe
-    # so it stays ~<=1.5 GB; (b) expander-regime data (high-dim
-    # noise-dominated neighborhoods) plateaus in recall as nprobe grows
-    # (measured invariant, see BENCH notes) — stop when an escalation
-    # buys < 0.005 recall rather than burn a full scan chasing an
-    # unreachable floor.
-    np_mem_cap = max(int(1.5e9 / max(2 * m * min(k, m) * 4, 1)), 8)
-    np_max = int(min(c, np_mem_cap))
-    np_eff = int(min(nprobe, np_max))
-
+    # --- 5. calibrate nprobe on a slot subsample, search, verify ---
     if min_recall is not None and s >= 128:
         # PILOT: each candidate nprobe is scored on a random ~6% slot
         # subsample (bounded below at 32 slots) and its recall measured
         # on queries drawn from those slots — so the expensive full
-        # search runs ONCE, at a calibrated nprobe, instead of being
-        # repeated per doubling.  Between pilot rounds the next
-        # candidate comes from the empirical power law
-        # recall ~ nprobe^alpha (alpha fitted from the last two pilot
-        # points; ~0.37 measured on archetype synthetics), clamped to
-        # [1.5x, 4x] growth.
+        # search runs ONCE, at a calibrated nprobe.  Between pilot
+        # rounds the next candidate comes from the empirical power law
+        # recall ~ nprobe^alpha, clamped to [1.5x, 4x] growth.
         rng_p = np.random.RandomState(seed + 17)
         n_pilot = min(s, max(32, s // 16))
         ps_ids = np.sort(rng_p.choice(s, n_pilot, replace=False))
         ps_ids = ps_ids[slot_counts[ps_ids] > 0]
         pilot_cells_sorted = np.concatenate([
-            np.arange(slot_starts[si], slot_starts[si] + slot_counts[si])
+            np.arange(slot_sorted_start[si],
+                      slot_sorted_start[si] + slot_counts[si])
             for si in ps_ids])
         q_sorted = rng_p.choice(
             pilot_cells_sorted,
@@ -400,26 +473,26 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
         with _prof.phase("ivf_exact_truth"):
             true_idx = exact_knn_sample(x, q_orig, k, exact=False)
         # map each sampled query to (pilot slot row, offset)
-        slot_of_q = np.searchsorted(slot_starts[ps_ids], q_sorted,
+        slot_of_q = np.searchsorted(slot_sorted_start[ps_ids], q_sorted,
                                     side="right") - 1
-        off_of_q = q_sorted - slot_starts[ps_ids][slot_of_q]
+        off_of_q = q_sorted - slot_sorted_start[ps_ids][slot_of_q]
 
         history = []
         pilot_stop = None  # 'cap' | 'plateau' when recall floor unmet
-        # large fine-grained indexes need a double-digit percentage of
-        # clusters probed in practice (measured on archetype and
-        # manifold synthetics alike); starting the pilot at c/8 saves a
-        # round or two of calibration vs. the user-facing default
-        np_c = max(np_eff, min(c // 8, np_max))
+        # fine clusters (TPU path) reach the floor at single-digit
+        # coverage; coarse clusters (XLA path) need a double-digit
+        # percentage (measured; see BENCH notes) — start accordingly
+        np_c = max(np_eff, min(c // 16 if use_pallas else c // 8, np_max))
         while True:
             with _prof.phase(f"ivf_pilot(nprobe={np_c})"):
                 _, idx_p = _score_subset(np_c, ps_ids)
-            got = order[np.clip(idx_p[slot_of_q, off_of_q], 0, n - 1)]
+            got = cand_to_orig[np.clip(idx_p[slot_of_q, off_of_q], 0,
+                                       cand_clip)]
             rec = _recall_against(got, true_idx, k)
             history.append((np_c, rec))
             if rec >= min_recall or np_c >= np_max:
                 if rec < min_recall:
-                    pilot_stop = "cap"  # hit the memory-bounded nprobe cap
+                    pilot_stop = "cap"  # hit the probe-count cap
                 print(f"# pp.ivf pilot: recall@{k} = {rec:.3f} at "
                       f"nprobe={np_c}; searching", file=sys.stderr)
                 break
@@ -467,7 +540,7 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=8,
 
             reason = ("recall has plateaued (expander-regime data)"
                       if plateaued else
-                      f"nprobe is at its memory-bounded cap ({np_max} of "
+                      f"nprobe is at its probe-count cap ({np_max} of "
                       f"{c} clusters)")
             warnings.warn(
                 f"pp.ivf: measured recall@{k} = {rec:.3f} < min_recall = "

@@ -109,3 +109,23 @@ def test_ivf_handles_unbalanced_clusters():
     recall = np.mean([len(set(idx[i]) & set(ei[i])) / 8
                       for i in range(0, 5600, 13)])
     assert recall > 0.99
+
+
+def test_ivf_pallas_path_interpret():
+    """The TPU scoring path (fixed slot geometry + ops.ivf_pallas) run
+    through the Pallas interpreter must produce a high-recall index and
+    honor the knn_search contract, matching the XLA path's behavior."""
+    from cna_tpu.pp.ivf import ivf_knn, measured_recall
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(16, 8) * 6
+    x = np.concatenate([c + rng.randn(150, 8) for c in centers]).astype(
+        np.float32)
+    n = len(x)
+    idx, dists = ivf_knn(x, 10, seed=0, use_pallas=True,
+                         pallas_interpret=True, slot_rows=64,
+                         n_clusters=32, min_recall=0.9)
+    rec = measured_recall(x, idx, 10, seed=5)
+    assert rec > 0.9, rec
+    assert (idx[:, 0] == np.arange(n)).all()
+    assert np.all(np.diff(dists[:, 1:], axis=1) >= -1e-4)
