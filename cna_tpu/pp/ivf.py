@@ -135,7 +135,9 @@ def exact_knn_sample(x, q_ix, k, exact=True):
     from .knn import _knn_query_block
 
     n = x.shape[0]
-    key_block = 8192
+    # wide key blocks: the scan cost is per-iteration op overhead, not
+    # FLOPs (measured 6s at 1M with 8192-wide blocks vs ~2s at 32768)
+    key_block = 32_768
     nkb = -(-n // key_block)
     x_dev = jnp.asarray(x)
     x_pad = jnp.pad(x_dev, ((0, nkb * key_block - n), (0, 0)))
@@ -196,15 +198,19 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
 
     Two scoring paths share one index structure:
 
-    * **TPU (default on TPU)** — fine clusters (~192 rows) scored by the
-      Pallas kernel in ``ops.ivf_pallas`` with a FIXED 256-row slot
-      geometry.  Fine clusters matter for recall, not just speed: probe
+    * **TPU (default on TPU)** — clusters of ~384 rows scored by the
+      Pallas kernel in ``ops.ivf_pallas`` with a FIXED 512-row slot
+      geometry.  Cluster size balances two measured effects: probe
       lists are ranked by the distance of the query's own cluster
       centroid to candidate centroids (tile-regular), and with coarse
-      ~1000-cell clusters that slot-level ranking measured recall 0.82
-      at 12.5% coverage where true per-query ranking reaches 0.997 —
-      the cluster radius, not the cluster selection, is the recall
-      bottleneck.  Shrinking the radius (c ~ n/192) closes the gap.
+      ~1000-cell clusters that slot-level ranking loses recall to the
+      cluster radius (0.82 at 12.5% coverage where true per-query
+      ranking reaches 0.997), so finer clusters cut the coverage needed
+      for recall 0.9 (18.8% at c=976 -> ~11% at c~n/192); but
+      smaller scoring tiles pay per-grid-step overheads + tile padding
+      (measured per-candidate cost 1.7e-10 s at m=512 vs 3.1e-10 at
+      m=256).  c ~ n/384 with m=512 (75% tile fill) minimizes the
+      product.
     * **XLA (CPU and any non-TPU backend)** — the
       ``approx_max_k``-based ``_score_slots`` with data-adaptive slot
       rows, coarser clusters (c ~ n/1024).
@@ -217,7 +223,7 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
     if n_clusters is None:
-        n_clusters = (int(np.clip(n // 192, 16, 8192)) if use_pallas
+        n_clusters = (int(np.clip(n // 384, 16, 8192)) if use_pallas
                       else int(np.clip(n // 1024, 16, 8192)))
     c = int(min(n_clusters, max(n // 8, 1)))
     if kmeans_iters is None:
@@ -242,7 +248,7 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
     if slot_rows is not None:
         m = slot_rows
     elif use_pallas:
-        m = 256  # fixed: stable compiled shapes; fits the packed-id bits
+        m = 512  # fixed: stable compiled shapes; largest VMEM-safe tile
     else:
         m = int(np.ceil(1.25 * n / c / 8) * 8)
     nslots_c = np.maximum(-(-sizes // m), 1).astype(np.int64)
@@ -479,10 +485,11 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
 
         history = []
         pilot_stop = None  # 'cap' | 'plateau' when recall floor unmet
-        # fine clusters (TPU path) reach the floor at single-digit
-        # coverage; coarse clusters (XLA path) need a double-digit
-        # percentage (measured; see BENCH notes) — start accordingly
-        np_c = max(np_eff, min(c // 16 if use_pallas else c // 8, np_max))
+        # the recall-0.9 coverage is ~11-16% of clusters at the TPU
+        # path's granularity and similar for the XLA path's coarser
+        # clusters (measured; see BENCH notes) — start the pilot at 10%
+        # and let the power law close the gap in fine steps
+        np_c = max(np_eff, min(c // 10 if use_pallas else c // 8, np_max))
         while True:
             with _prof.phase(f"ivf_pilot(nprobe={np_c})"):
                 _, idx_p = _score_subset(np_c, ps_ids)
@@ -506,7 +513,13 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
             else:
                 alpha = 0.37
             jump = (min_recall / max(rec, 1e-9)) ** (1.0 / alpha)
-            np_c = int(min(np_max, max(np_c * min(max(jump, 1.5), 4.0),
+            # growth clamp: 1.5x floor far from the target bounds pilot
+            # rounds, but NEAR the target it overshoots the calibrated
+            # nprobe by up to 50% — and the full search pays that
+            # directly (measured: 730 vs ~590 needed, +24% search time).
+            # Within 0.05 of the floor, allow fine 1.15x steps.
+            min_jump = 1.15 if rec >= min_recall - 0.05 else 1.5
+            np_c = int(min(np_max, max(np_c * min(max(jump, min_jump), 4.0),
                                        np_c + 1)))
             print(f"# pp.ivf pilot: recall@{k} = {rec:.3f} < {min_recall} "
                   f"at nprobe={history[-1][0]}; trying {np_c}",
