@@ -12,16 +12,19 @@ IVF-flat is the TPU-shaped alternative (the structure GPU FAISS uses):
    row range**; clusters are cut into fixed-size **slots** of <= M rows
    (a cluster larger than M spans several slots — nothing is dropped);
 3. each slot scores its members against the members of the slots of its
-   ``nprobe`` nearest clusters: one (M x P*M) distance matmul per slot,
-   batched over slots with ``lax.map`` — contiguous dynamic slices, no
-   scatter/gather;
-4. per-candidate-set top-k via ``jax.lax.approx_max_k`` (recall ~0.99
-   within the probed set).
+   ``nprobe`` nearest clusters, through one of two scoring paths over
+   the SAME index structure:
+   * on TPU, the Pallas kernel in ``ops.ivf_pallas`` — the (M, M)
+     distance tile never leaves VMEM and the running top-k is merged
+     there with packed-id extraction passes (exact within the probed
+     set); fixed M=512 slot geometry, clusters ~n/384;
+   * elsewhere, an XLA ``lax.map`` over contiguous dynamic slices with
+     ``jax.lax.approx_max_k`` per probe (~0.99 recall within the
+     probed set) and an exact merge; data-adaptive M, clusters ~n/1024.
 
 Total compute ~ N * nprobe * M * D MACs — linear in N for fixed cluster
-geometry.  Overall recall = (probe coverage) x 0.99; with the defaults
-measured >= ~0.95 on both manifold-structured and archetype synthetic
-data (see tests and BENCH notes), comparable to pynndescent's defaults.
+geometry.  Overall recall ~= probe coverage, which the pilot below
+calibrates against a measured exact-truth sample per dataset.
 """
 
 from __future__ import annotations
