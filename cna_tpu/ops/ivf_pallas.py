@@ -47,14 +47,15 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-# 11 low mantissa bits carry the within-tile column id (=> m <= 2048);
-# distances keep 12 mantissa bits of precision (rel. error <= 2^-12).
+# 11 low mantissa bits carry the within-tile column id across the 2m-wide
+# probe-pair tile (=> m <= 1024); distances keep 12 mantissa bits of
+# precision (rel. error <= 2^-12).
 _ID_BITS = 11
 _ID_MASK = (1 << _ID_BITS) - 1
 
 
-def _score_kernel(pid_ref, scnt_ref, q_ref, cand_ref, outd_ref, outi_ref,
-                  bestd_ref, besti_ref, *, k, m):
+def _score_kernel(pid_ref, scnt_ref, q_ref, cand_a_ref, cand_b_ref,
+                  outd_ref, outi_ref, bestd_ref, besti_ref, *, k, m):
     i = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -64,19 +65,33 @@ def _score_kernel(pid_ref, scnt_ref, q_ref, cand_ref, outd_ref, outi_ref,
         bestd_ref[:] = jnp.full(bestd_ref.shape, -jnp.inf, jnp.float32)
         besti_ref[:] = jnp.zeros(besti_ref.shape, jnp.int32)
 
-    sid = pid_ref[i, j]
-    count = scnt_ref[sid]
+    # TWO probes per grid step: per-step fixed costs (grid sequencing,
+    # scalar reads, the stage-2 state merge) were ~60% of the measured
+    # 45 us/step at m=512 — amortizing them over a 2m-wide candidate
+    # tile buys back most of that overhead for the same VPU visit count.
+    sid_a = pid_ref[i, 2 * j]
+    sid_b = pid_ref[i, 2 * j + 1]
+    count_a = scnt_ref[sid_a]
+    count_b = scnt_ref[sid_b]
 
-    @pl.when(count > 0)
+    @pl.when(count_a + count_b > 0)
     def _():
-        q = q_ref[0]      # (m, d_pad)
-        cand = cand_ref[0]  # (m, d_pad)
+        q = q_ref[0]         # (m, d_pad)
+        cand_a = cand_a_ref[0]  # (m, d_pad)
+        cand_b = cand_b_ref[0]
         qn = jnp.sum(q * q, axis=1, keepdims=True)
-        cn = jnp.sum(cand * cand, axis=1, keepdims=True)
-        cross = jnp.dot(q, cand.T, preferred_element_type=jnp.float32)
-        negd = 2.0 * cross - qn - cn.T  # (m, m)
+        cn_a = jnp.sum(cand_a * cand_a, axis=1, keepdims=True)
+        cn_b = jnp.sum(cand_b * cand_b, axis=1, keepdims=True)
+        cross_a = jnp.dot(q, cand_a.T, preferred_element_type=jnp.float32)
+        cross_b = jnp.dot(q, cand_b.T, preferred_element_type=jnp.float32)
+        negd = jnp.concatenate(
+            [2.0 * cross_a - qn - cn_a.T,
+             2.0 * cross_b - qn - cn_b.T], axis=1)  # (m, 2m)
         col = jax.lax.broadcasted_iota(jnp.int32, negd.shape, 1)
-        negd = jnp.where(col < count, negd, -jnp.inf)
+        in_a = col < m
+        # logical combine, not where-on-bools (Mosaic can't select i1)
+        live = (in_a & (col < count_a)) | (~in_a & ((col - m) < count_b))
+        negd = jnp.where(live, negd, -jnp.inf)
 
         # --- pack the local column id into the low mantissa bits ---
         # The classic argmax-extract loop costs ~8 full-width VPU ops
@@ -105,10 +120,10 @@ def _score_kernel(pid_ref, scnt_ref, q_ref, cand_ref, outd_ref, outi_ref,
             tile_d = jnp.where(slot_k == t, mx, tile_d)
             packed = jnp.where(packed == mx, -jnp.inf, packed)
         tile_bits = jax.lax.bitcast_convert_type(tile_d, jnp.int32)
-        tile_ids = jnp.where(
-            jnp.isfinite(tile_d),
-            jnp.bitwise_and(tile_bits, jnp.int32(_ID_MASK)) + sid * m,
-            jnp.int32(0))
+        local = jnp.bitwise_and(tile_bits, jnp.int32(_ID_MASK))
+        glob = jnp.where(local < m, sid_a * m + local,
+                         sid_b * m + (local - m))
+        tile_ids = jnp.where(jnp.isfinite(tile_d), glob, jnp.int32(0))
 
         # --- stage 2: merge tile winners into the running state ---
         # (m, 2k)-wide: the extraction loop here touches 30 lanes, not
@@ -161,20 +176,26 @@ def score_slots_pallas(x3, sel_ids, probe_ids, slot_counts, k, m,
     """
     ns = sel_ids.shape[0]
     p = probe_ids.shape[1]
+    if p % 2:
+        raise ValueError("probe list width must be even (pad with a "
+                         "count-0 dummy slot)")
     kpad = _round_up(max(k, 1), 128)
     d_pad = x3.shape[2]
-    if m > _ID_MASK + 1:
+    if 2 * m > _ID_MASK + 1:
         raise ValueError(f"slot rows m={m} exceeds the {_ID_BITS}-bit "
-                         "packed-id capacity (2048)")
+                         "packed-id capacity over a probe pair (1024)")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(ns, p),
+        grid=(ns, p // 2),
         in_specs=[
             pl.BlockSpec((1, m, d_pad),
                          lambda i, j, sel, pid, scnt: (sel[i], 0, 0)),
             pl.BlockSpec((1, m, d_pad),
-                         lambda i, j, sel, pid, scnt: (pid[i, j], 0, 0)),
+                         lambda i, j, sel, pid, scnt: (pid[i, 2 * j], 0, 0)),
+            pl.BlockSpec((1, m, d_pad),
+                         lambda i, j, sel, pid, scnt: (pid[i, 2 * j + 1],
+                                                       0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, m, kpad),
@@ -188,11 +209,11 @@ def score_slots_pallas(x3, sel_ids, probe_ids, slot_counts, k, m,
         ],
     )
 
-    def kernel(sel_ref, pid_ref, scnt_ref, q_ref, cand_ref, outd_ref,
-               outi_ref, bestd_ref, besti_ref):
+    def kernel(sel_ref, pid_ref, scnt_ref, q_ref, cand_a_ref, cand_b_ref,
+               outd_ref, outi_ref, bestd_ref, besti_ref):
         del sel_ref
-        _score_kernel(pid_ref, scnt_ref, q_ref, cand_ref, outd_ref,
-                      outi_ref, bestd_ref, besti_ref, k=k, m=m)
+        _score_kernel(pid_ref, scnt_ref, q_ref, cand_a_ref, cand_b_ref,
+                      outd_ref, outi_ref, bestd_ref, besti_ref, k=k, m=m)
 
     outd, outi = pl.pallas_call(
         kernel,
@@ -202,5 +223,5 @@ def score_slots_pallas(x3, sel_ids, probe_ids, slot_counts, k, m,
             jax.ShapeDtypeStruct((ns, m, kpad), jnp.int32),
         ],
         interpret=interpret,
-    )(sel_ids, probe_ids, slot_counts, x3, x3)
+    )(sel_ids, probe_ids, slot_counts, x3, x3, x3)
     return outd[:, :, :k], outi[:, :, :k]
