@@ -139,8 +139,11 @@ def exact_knn_sample(x, q_ix, k, exact=True):
 
     n = x.shape[0]
     # wide key blocks: the scan cost is per-iteration op overhead, not
-    # FLOPs (measured 6s at 1M with 8192-wide blocks vs ~2s at 32768)
-    key_block = 32_768
+    # FLOPs (measured 6s at 1M with 8192-wide blocks vs ~2s at 32768) —
+    # scale the block to the dataset so big builds amortize the
+    # overhead and small test datasets don't pay padding
+    key_block = (131_072 if n > 262_144
+                 else 32_768 if n > 32_768 else 8_192)
     nkb = -(-n // key_block)
     x_dev = jnp.asarray(x)
     x_pad = jnp.pad(x_dev, ((0, nkb * key_block - n), (0, 0)))
