@@ -1,35 +1,46 @@
-"""Pallas TPU kernel: IVF slot scoring at MXU speed.
+"""Pallas TPU kernel: IVF fine-block scoring at MXU speed.
 
 The XLA formulation of IVF scoring (``pp.ivf._score_slots``) computes a
-(m, m) squared-distance tile per (slot, probe) and reduces it with
+per-(slot, probe) squared-distance tile and reduces it with
 ``jax.lax.approx_max_k`` + a final ``lax.top_k`` merge.  Measured on one
-v5e at the 1M-cell north-star shapes (m=1288, 224 probes/slot): the
-distance matmuls with a fused max cost 1.1 s for the whole search, while
-the same loop with ``approx_max_k`` costs 87 s and the full pipeline
-152 s — the top-k ops force every distance tile through an HBM
-round-trip (~3 TB) because TPU matmuls only fuse trivial elementwise
-epilogues.
+v5e at the 1M-cell north-star shapes: the distance matmuls with a fused
+max cost 1.1 s for the whole search, while the same loop with
+``approx_max_k`` costs 87 s and the full pipeline 152 s — the top-k ops
+force every distance tile through an HBM round-trip (~3 TB) because TPU
+matmuls only fuse trivial elementwise epilogues.
 
-This kernel is the ``ops.knn_pallas`` design applied to the IVF
-geometry: the (m, m) tile never leaves VMEM and the per-query running
-top-k is merged in VMEM scratch with k argmax-extract-mask passes
-(Mosaic has no top_k/sort; the extraction loop IS the TPU-native
-top-k).  What makes it possible is a fixed slot layout:
+This kernel keeps the distance tile in VMEM and merges the per-query
+running top-k in VMEM scratch with k argmax-extract-mask passes (Mosaic
+has no top_k/sort; the extraction loop IS the TPU-native top-k).  It is
+the round-3 slot-pair kernel redesigned for **two-level fine-block
+probing** (round-4): probe lists name fine g=128-row blocks instead of
+512-row slots, because probe selection — not scoring — limits IVF
+recall on this data (measured: recall-0.9 needs ~19% of candidates at
+~1000-row ranking granularity but ~7% at ~100-row granularity; see
+CLAUDE.md).  Geometry:
 
-* every slot holds exactly ``m`` rows at layout offset ``slot_id * m``
-  (clusters are padded UP to a slot multiple when laid out), so both the
-  query tile and each probed candidate tile are ordinary grid blocks of
-  a (S, m, d_pad) array — no unaligned dynamic slices, no in-kernel DMA
-  bookkeeping;
-* the probe list is a (ns, P) array of slot IDS driven through scalar
-  prefetch: the block index maps read it directly;
-* dummy probes (count 0, padding up to the P shape bucket) skip the
-  whole body via ``pl.when``.
+* the point set lives in a (F_pad, g, d_pad) fine-block layout — block
+  ``b`` owns layout rows [b*g, b*g + count_b); clusters are padded up to
+  a block multiple so every block is an ordinary grid block — no
+  unaligned dynamic slices;
+* a QUERY TILE is ``q_blocks`` consecutive fine blocks (one "slot",
+  q_blocks*g = 512 rows by default) so the MXU operand stays large and
+  the per-grid-step fixed cost (~25-30 us: sequencing, scalar reads,
+  the stage-2 state merge) is amortized over many queries;
+* each grid step scores CB=16 candidate fine blocks at once — a
+  2048-wide tile, exactly the 11-bit packed-id capacity — fetched
+  through 16 independent block operands whose index maps read the
+  scalar-prefetched probe list;
+* probe ids are fine-BLOCK ids; a count-0 block is a dummy (skipped via
+  ``pl.when`` when a whole step is dummies, masked to -inf otherwise);
+* output neighbor ids are emitted in COMPACT layout coordinates
+  (``blk_csum[b] + within``) via a prefetched per-block offset table, so
+  downstream graph construction never pays a host-side (or device
+  scalar-gather) id translation.
 
-Grid = (slots, probes), probe axis innermost so the query tile and the
+Grid = (slots, probe_steps), probe axis innermost so the query tile and
 running state stay resident across a slot's probes.  Outputs are exact
-top-k within the probed candidate set (the XLA path's approx_max_k was
-0.99-recall within it).
+top-k within the probed candidate set.
 """
 
 from __future__ import annotations
@@ -38,7 +49,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,51 +57,57 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-# 11 low mantissa bits carry the within-tile column id across the 2m-wide
-# probe-pair tile (=> m <= 1024); distances keep 12 mantissa bits of
-# precision (rel. error <= 2^-12).
+# 11 low mantissa bits carry the within-tile column id across the
+# CB*g-wide candidate tile (=> CB*g <= 2048); distances keep 12 mantissa
+# bits of precision (rel. error <= 2^-12).
 _ID_BITS = 11
 _ID_MASK = (1 << _ID_BITS) - 1
 
+CANDS_PER_STEP = 16  # candidate fine blocks scored per grid step
 
-def _score_kernel(pid_ref, scnt_ref, q_ref, cand_a_ref, cand_b_ref,
-                  outd_ref, outi_ref, bestd_ref, besti_ref, *, k, m):
+
+def _score_kernel(pid_ref, scnt_ref, csum_ref, q_ref, cand_refs,
+                  outd_ref, outi_ref, bestd_ref, besti_ref, *, k, g, cb,
+                  q_blocks):
     i = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(1)
+    mq = q_blocks * g
+    w = cb * g
+    lg = g.bit_length() - 1  # g is a power of two
 
     @pl.when(j == 0)
     def _():
         bestd_ref[:] = jnp.full(bestd_ref.shape, -jnp.inf, jnp.float32)
         besti_ref[:] = jnp.zeros(besti_ref.shape, jnp.int32)
 
-    # TWO probes per grid step: per-step fixed costs (grid sequencing,
-    # scalar reads, the stage-2 state merge) were ~60% of the measured
-    # 45 us/step at m=512 — amortizing them over a 2m-wide candidate
-    # tile buys back most of that overhead for the same VPU visit count.
-    sid_a = pid_ref[i, 2 * j]
-    sid_b = pid_ref[i, 2 * j + 1]
-    count_a = scnt_ref[sid_a]
-    count_b = scnt_ref[sid_b]
+    sids = [pid_ref[i, cb * j + t] for t in range(cb)]
+    cnts = [scnt_ref[sids[t]] for t in range(cb)]
+    total = cnts[0]
+    for t in range(1, cb):
+        total = total + cnts[t]
 
-    @pl.when(count_a + count_b > 0)
+    @pl.when(total > 0)
     def _():
-        q = q_ref[0]         # (m, d_pad)
-        cand_a = cand_a_ref[0]  # (m, d_pad)
-        cand_b = cand_b_ref[0]
+        q = q_ref[...].reshape(mq, q_ref.shape[-1])
+        cand = jnp.concatenate([r[0] for r in cand_refs], axis=0)  # (W, d)
         qn = jnp.sum(q * q, axis=1, keepdims=True)
-        cn_a = jnp.sum(cand_a * cand_a, axis=1, keepdims=True)
-        cn_b = jnp.sum(cand_b * cand_b, axis=1, keepdims=True)
-        cross_a = jnp.dot(q, cand_a.T, preferred_element_type=jnp.float32)
-        cross_b = jnp.dot(q, cand_b.T, preferred_element_type=jnp.float32)
-        negd = jnp.concatenate(
-            [2.0 * cross_a - qn - cn_a.T,
-             2.0 * cross_b - qn - cn_b.T], axis=1)  # (m, 2m)
+        cn = jnp.sum(cand * cand, axis=1, keepdims=True)
+        cross = jnp.dot(q, cand.T, preferred_element_type=jnp.float32)
+        negd = 2.0 * cross - qn - cn.T  # (mq, W)
+
+        # --- column liveness: within-block offset < that block's count.
+        # The cb-way count select runs on a (1, W) strip; the broadcast
+        # against the full tile costs one compare + one where.
+        col_r = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        blk_r = jax.lax.shift_right_logical(col_r, jnp.int32(lg))
+        cnt_r = jnp.zeros((1, w), jnp.int32)
+        for t in range(cb):
+            cnt_r = jnp.where(blk_r == t, cnts[t], cnt_r)
+        within_r = jnp.bitwise_and(col_r, jnp.int32(g - 1))
+        live_r = within_r < cnt_r  # (1, W), broadcasts over rows
         col = jax.lax.broadcasted_iota(jnp.int32, negd.shape, 1)
-        in_a = col < m
-        # logical combine, not where-on-bools (Mosaic can't select i1)
-        live = (in_a & (col < count_a)) | (~in_a & ((col - m) < count_b))
-        negd = jnp.where(live, negd, -jnp.inf)
+        negd = jnp.where(live_r, negd, -jnp.inf)
 
         # --- pack the local column id into the low mantissa bits ---
         # The classic argmax-extract loop costs ~8 full-width VPU ops
@@ -106,14 +122,14 @@ def _score_kernel(pid_ref, scnt_ref, q_ref, cand_a_ref, cand_b_ref,
         # is all-ones; setting mantissa bits would turn it into NaN).
         bits = jax.lax.bitcast_convert_type(negd, jnp.int32)
         packed_bits = jnp.bitwise_or(
-            jnp.bitwise_and(bits, jnp.int32(~(_ID_MASK))), col)
+            jnp.bitwise_and(bits, jnp.int32(~_ID_MASK)), col)
         packed = jnp.where(
             jnp.isfinite(negd),
             jax.lax.bitcast_convert_type(packed_bits, jnp.float32),
             -jnp.inf)
 
         # --- stage 1: top-k of THIS tile (full-width passes) ---
-        tile_d = jnp.zeros((negd.shape[0], k), jnp.float32)
+        tile_d = jnp.zeros((mq, k), jnp.float32)
         slot_k = jax.lax.broadcasted_iota(jnp.int32, tile_d.shape, 1)
         for t in range(k):
             mx = jnp.max(packed, axis=1, keepdims=True)
@@ -121,13 +137,18 @@ def _score_kernel(pid_ref, scnt_ref, q_ref, cand_a_ref, cand_b_ref,
             packed = jnp.where(packed == mx, -jnp.inf, packed)
         tile_bits = jax.lax.bitcast_convert_type(tile_d, jnp.int32)
         local = jnp.bitwise_and(tile_bits, jnp.int32(_ID_MASK))
-        glob = jnp.where(local < m, sid_a * m + local,
-                         sid_b * m + (local - m))
+        # local tile id -> COMPACT layout id: csum[block] + within.
+        # cb-way select on the small (mq, k) tile.
+        lblk = jax.lax.shift_right_logical(local, jnp.int32(lg))
+        lwithin = jnp.bitwise_and(local, jnp.int32(g - 1))
+        glob = jnp.zeros_like(local)
+        for t in range(cb):
+            glob = jnp.where(lblk == t, csum_ref[sids[t]] + lwithin, glob)
         tile_ids = jnp.where(jnp.isfinite(tile_d), glob, jnp.int32(0))
 
         # --- stage 2: merge tile winners into the running state ---
-        # (m, 2k)-wide: the extraction loop here touches 30 lanes, not
-        # the full tile, so its cost is negligible.
+        # (mq, 2k)-wide: the extraction loop here touches ~2k lanes, not
+        # the full tile, so its cost is part of the per-step fixed cost.
         bestd = bestd_ref[:]
         besti = besti_ref[:]
         cand_d = jnp.concatenate([bestd[:, :k], tile_d], axis=1)
@@ -151,77 +172,87 @@ def _score_kernel(pid_ref, scnt_ref, q_ref, cand_a_ref, cand_b_ref,
         outi_ref[0] = besti_ref[:]
 
 
-@partial(jax.jit, static_argnames=("k", "m", "interpret"))
-def score_slots_pallas(x3, sel_ids, probe_ids, slot_counts, k, m,
-                       interpret=False):
-    """Exact top-k of each slot's rows against its probed slots' rows.
+@partial(jax.jit, static_argnames=("k", "g", "q_blocks", "interpret"))
+def score_blocks_pallas(x4, sel_ids, probe_ids, blk_counts, blk_csum, k,
+                        g=128, q_blocks=4, interpret=False):
+    """Exact top-k of each slot's rows against its probed fine blocks.
 
-    x3: (S, m, d_pad) float32 — slot-blocked layout (slot s = rows
-        [s*m, s*m + count) of the cluster-sorted point set; tail rows of
-        a slot are layout padding whose values are never selected
+    x4: (F_pad, g, d_pad) float32 — fine-block layout (block b = layout
+        rows [b*g, b*g + count_b) of the cluster-sorted point set; tail
+        rows of a block are padding whose values are never selected
         because every probe masks columns >= its count).
-    sel_ids: (ns,) int32 — slot id scored by each output row.
-    probe_ids: (ns, P) int32 — probed slot ids (a count-0 slot id =
-        dummy, skipped; pad probe lists with one such slot).
-    slot_counts: (S,) int32 — live row count of every slot.  Per-SLOT
-        (not per-probe) so the scalar-prefetch SMEM footprint stays
-        ~bytes-per-slot: prefetched operands share a 1 MB SMEM budget,
-        which a (ns, P) count matrix blows at production shapes.
-    Returns (negd (ns, m, k) descending, idx (ns, m, k)) with idx in
-    layout coordinates (slot_id * m + column).  Rows of a query slot
-    beyond its own live count hold garbage; callers mask them.  The
-    returned neg-squared-distances are quantized to ~12 mantissa bits
-    (the low bits carry extraction ids in-kernel); relative error
-    <= 2^-12, immaterial for neighbor ranking and graph weights.
+    sel_ids: (ns,) int32 — slot id scored by each output row; slot s
+        owns query blocks [s*q_blocks, (s+1)*q_blocks).
+    probe_ids: (ns, P) int32 — probed fine-BLOCK ids, P a multiple of
+        CANDS_PER_STEP (a count-0 block id = dummy; whole-dummy steps
+        are skipped, partial ones masked).
+    blk_counts: (F_pad,) int32 — live row count of every block (scalar
+        prefetch; per-BLOCK so the SMEM footprint stays ~bytes-per-block).
+    blk_csum: (F_pad,) int32 — exclusive cumsum of live counts: the
+        COMPACT layout offset of each block.  Output ids are emitted as
+        ``blk_csum[b] + within`` so no downstream id translation exists.
+    Returns (negd (ns, q_blocks*g, k) descending, idx (ns, q_blocks*g,
+    k)) with idx in compact coordinates.  Query rows beyond a block's
+    live count hold garbage; callers mask them.  The returned
+    neg-squared-distances are quantized to ~12 mantissa bits (the low
+    bits carry extraction ids in-kernel); relative error <= 2^-12,
+    immaterial for neighbor ranking and graph weights.
     """
     ns = sel_ids.shape[0]
     p = probe_ids.shape[1]
-    if p % 2:
-        raise ValueError("probe list width must be even (pad with a "
-                         "count-0 dummy slot)")
+    cb = CANDS_PER_STEP
+    if p % cb:
+        raise ValueError(f"probe list width must be a multiple of {cb} "
+                         "(pad with a count-0 dummy block)")
+    if g & (g - 1):
+        raise ValueError("block rows g must be a power of two")
+    if cb * g > _ID_MASK + 1:
+        raise ValueError(f"candidate tile {cb}*{g} exceeds the "
+                         f"{_ID_BITS}-bit packed-id capacity (2048)")
     kpad = _round_up(max(k, 1), 128)
-    d_pad = x3.shape[2]
-    if 2 * m > _ID_MASK + 1:
-        raise ValueError(f"slot rows m={m} exceeds the {_ID_BITS}-bit "
-                         "packed-id capacity over a probe pair (1024)")
+    d_pad = x4.shape[2]
+    mq = q_blocks * g
+
+    def make_cand_spec(t):
+        return pl.BlockSpec(
+            (1, g, d_pad),
+            lambda i, j, sel, pid, scnt, csum, t=t: (pid[i, cb * j + t],
+                                                     0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(ns, p // 2),
+        num_scalar_prefetch=4,
+        grid=(ns, p // cb),
         in_specs=[
-            pl.BlockSpec((1, m, d_pad),
-                         lambda i, j, sel, pid, scnt: (sel[i], 0, 0)),
-            pl.BlockSpec((1, m, d_pad),
-                         lambda i, j, sel, pid, scnt: (pid[i, 2 * j], 0, 0)),
-            pl.BlockSpec((1, m, d_pad),
-                         lambda i, j, sel, pid, scnt: (pid[i, 2 * j + 1],
-                                                       0, 0)),
-        ],
+            pl.BlockSpec((q_blocks, g, d_pad),
+                         lambda i, j, sel, pid, scnt, csum: (sel[i], 0, 0)),
+        ] + [make_cand_spec(t) for t in range(cb)],
         out_specs=[
-            pl.BlockSpec((1, m, kpad),
-                         lambda i, j, sel, pid, scnt: (i, 0, 0)),
-            pl.BlockSpec((1, m, kpad),
-                         lambda i, j, sel, pid, scnt: (i, 0, 0)),
+            pl.BlockSpec((1, mq, kpad),
+                         lambda i, j, sel, pid, scnt, csum: (i, 0, 0)),
+            pl.BlockSpec((1, mq, kpad),
+                         lambda i, j, sel, pid, scnt, csum: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((m, kpad), jnp.float32),
-            pltpu.VMEM((m, kpad), jnp.int32),
+            pltpu.VMEM((mq, kpad), jnp.float32),
+            pltpu.VMEM((mq, kpad), jnp.int32),
         ],
     )
 
-    def kernel(sel_ref, pid_ref, scnt_ref, q_ref, cand_a_ref, cand_b_ref,
-               outd_ref, outi_ref, bestd_ref, besti_ref):
+    def kernel(sel_ref, pid_ref, scnt_ref, csum_ref, q_ref, *rest):
+        cand_refs = rest[:cb]
+        outd_ref, outi_ref, bestd_ref, besti_ref = rest[cb:]
         del sel_ref
-        _score_kernel(pid_ref, scnt_ref, q_ref, cand_a_ref, cand_b_ref,
-                      outd_ref, outi_ref, bestd_ref, besti_ref, k=k, m=m)
+        _score_kernel(pid_ref, scnt_ref, csum_ref, q_ref, cand_refs,
+                      outd_ref, outi_ref, bestd_ref, besti_ref, k=k, g=g,
+                      cb=cb, q_blocks=q_blocks)
 
     outd, outi = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((ns, m, kpad), jnp.float32),
-            jax.ShapeDtypeStruct((ns, m, kpad), jnp.int32),
+            jax.ShapeDtypeStruct((ns, mq, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((ns, mq, kpad), jnp.int32),
         ],
         interpret=interpret,
-    )(sel_ids, probe_ids, slot_counts, x3, x3, x3)
+    )(sel_ids, probe_ids, blk_counts, blk_csum, *([x4] * (1 + cb)))
     return outd[:, :, :k], outi[:, :, :k]

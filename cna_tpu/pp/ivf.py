@@ -173,14 +173,16 @@ def measured_recall(x, indices, k, sample=512, seed=0, exact=True):
 
 
 
-@partial(jax.jit, static_argnames=("s1", "m", "d_pad"))
-def _build_x3(x_dev, gather_idx, s1, m, d_pad):
-    """Slot-blocked (S, m, d_pad) layout built ON device: one row-gather
-    of the already-resident points (h2d ships only the 4-byte/row index
-    vector), zero-padded to the Mosaic lane width."""
-    g = x_dev[gather_idx]
-    g = jnp.pad(g, ((0, 0), (0, d_pad - g.shape[1])))
-    return g.reshape(s1, m, d_pad).astype(jnp.float32)
+def ivf_knn_device(points, k, **kw):
+    """Device-resident IVF kNN (two-level fine-block index): returns a
+    ``FineSearchResult`` with (indices, dists) ON DEVICE in compact
+    layout coordinates plus the ``order`` permutation.  The atlas-scale
+    entry point for ``pp.neighbors`` — nothing (N, k)-sized crosses the
+    tunnel.  See ``cna_tpu.pp.ivf_fine``.
+    """
+    from .ivf_fine import ivf_knn_fine
+
+    return ivf_knn_fine(points, k, **kw)
 
 
 def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
@@ -195,28 +197,21 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
 
     Recall depends on the data's metric structure (true of every ANN
     index).  Rather than documenting a caveat, the index MEASURES it:
-    recall@k is estimated against an exact-kNN sample and ``nprobe`` is
-    calibrated on a slot-subsample pilot before the full search; while
-    the measured recall is below ``min_recall`` the search re-runs with
-    escalated ``nprobe``.  A warning is raised if the floor is
-    unreachable.  Set ``min_recall=None`` to disable.  Use
+    recall@k is estimated against an exact-kNN sample and the probe
+    count is calibrated on a slot-subsample pilot before the full
+    search; while the measured recall is below ``min_recall`` the search
+    re-runs with an escalated probe count.  A warning is raised if the
+    floor is unreachable.  Set ``min_recall=None`` to disable.  Use
     ``method='pallas'`` (exact, O(N^2)) if in doubt.
 
-    Two scoring paths share one index structure:
+    Two scoring paths:
 
-    * **TPU (default on TPU)** — clusters of ~384 rows scored by the
-      Pallas kernel in ``ops.ivf_pallas`` with a FIXED 512-row slot
-      geometry.  Cluster size balances two measured effects: probe
-      lists are ranked by the distance of the query's own cluster
-      centroid to candidate centroids (tile-regular), and with coarse
-      ~1000-cell clusters that slot-level ranking loses recall to the
-      cluster radius (0.82 at 12.5% coverage where true per-query
-      ranking reaches 0.997), so finer clusters cut the coverage needed
-      for recall 0.9 (18.8% at c=976 -> ~11% at c~n/192); but
-      smaller scoring tiles pay per-grid-step overheads + tile padding
-      (measured per-candidate cost 1.7e-10 s at m=512 vs 3.1e-10 at
-      m=256).  c ~ n/384 with m=512 (75% tile fill) minimizes the
-      product.
+    * **TPU (default on TPU; also ``pallas_interpret=True``)** — the
+      two-level fine-block index in ``cna_tpu.pp.ivf_fine``: probe
+      lists name g=128-row fine blocks ranked per slot by closest
+      approach (per-query-grade selection), scored by the Pallas kernel
+      in ``ops.ivf_pallas``; results stay on device (this wrapper pulls
+      them once for the host contract).
     * **XLA (CPU and any non-TPU backend)** — the
       ``approx_max_k``-based ``_score_slots`` with data-adaptive slot
       rows, coarser clusters (c ~ n/1024).
@@ -228,12 +223,27 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
     n, d = x.shape
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        g = slot_rows if slot_rows is not None else 128
+        res = ivf_knn_device(
+            x, k, seed=seed, min_recall=min_recall,
+            recall_sample=recall_sample, g=g, n_clusters=n_clusters,
+            kmeans_sample=kmeans_sample,
+            kmeans_iters=kmeans_iters or 8,
+            interpret=pallas_interpret or None)
+        idx_c = np.asarray(res.indices)
+        d_c = np.asarray(res.dists)
+        order = res.order
+        indices = np.empty((n, k), np.int32)
+        dists = np.empty((n, k), np.float32)
+        indices[order] = order[idx_c]
+        dists[order] = d_c
+        return indices, dists
     if n_clusters is None:
-        n_clusters = (int(np.clip(n // 384, 16, 8192)) if use_pallas
-                      else int(np.clip(n // 1024, 16, 8192)))
+        n_clusters = int(np.clip(n // 1024, 16, 8192))
     c = int(min(n_clusters, max(n // 8, 1)))
     if kmeans_iters is None:
-        kmeans_iters = 12 if use_pallas else 8
+        kmeans_iters = 8
     x_dev = jnp.asarray(x)
 
     # --- 1. centroids (fit on a subsample for huge N) ---
@@ -253,8 +263,6 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
     sizes = np.bincount(cid, minlength=c)
     if slot_rows is not None:
         m = slot_rows
-    elif use_pallas:
-        m = 512  # fixed: stable compiled shapes; largest VMEM-safe tile
     else:
         m = int(np.ceil(1.25 * n / c / 8) * 8)
     nslots_c = np.maximum(-(-sizes // m), 1).astype(np.int64)
@@ -288,17 +296,15 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
         return _round_up(v, step)
 
     # --- probe caps ---
-    avg_slots = max(float(nslots_c.mean()), 1.0)
-    if use_pallas:
-        # probe lists live in SMEM (scalar prefetch): cap the slot count
-        np_max = int(min(c, max(8, int(2048 / avg_slots))))
-    else:
-        np_mem_cap = max(int(1.5e9 / max(2 * m * min(k, m) * 4, 1)), 8)
-        np_max = int(min(c, np_mem_cap))
+    np_mem_cap = max(int(1.5e9 / max(2 * m * min(k, m) * 4, 1)), 8)
+    np_max = int(min(c, np_mem_cap))
     np_eff = int(min(nprobe, np_max))
 
     # --- cluster-to-cluster probe ranking (top-np_max only) ---
-    cn_host = np.asarray(cent)
+    # float64 on host: the cancellation-prone |a|^2+|b|^2-2ab formula in
+    # f32 can perturb near-equal probe ranks far from the origin
+    # (advisor r3); the c x c matrix is tiny, so f64 costs nothing.
+    cn_host = np.asarray(cent).astype(np.float64)
     cc = (cn_host * cn_host).sum(axis=1)
     cd2 = cc[:, None] + cc[None, :] - 2.0 * (cn_host @ cn_host.T)
     if np_max < c - 1:
@@ -309,38 +315,19 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
     else:
         probe_order = np.argsort(cd2, axis=1)
 
-    # --- 3. device layout ---
-    if use_pallas:
-        # slot-blocked: slot sid owns rows [sid*m, sid*m + count)
-        csum = np.concatenate([[0], np.cumsum(slot_counts)[:-1]])
-        intra = np.arange(n, dtype=np.int64) - np.repeat(csum, slot_counts)
-        layout_pos = (np.repeat(np.arange(s, dtype=np.int64) * m,
-                                slot_counts) + intra)
-        sorted_pos = np.repeat(slot_sorted_start, slot_counts) + intra
-        orig_ids = order[sorted_pos]
-        n_rows = (s + 1) * m
-        gather_idx = np.zeros(n_rows, np.int32)
-        gather_idx[layout_pos] = orig_ids
-        cand_to_orig = np.zeros(n_rows, np.int32)
-        cand_to_orig[layout_pos] = orig_ids
-        d_pad = max(128, _round_up(d, 128))
-        x3 = _build_x3(x_dev, jnp.asarray(gather_idx), s + 1, m, d_pad)
-        slot_counts_dev = jnp.asarray(
-            np.append(slot_counts, np.int32(0)))
-        slot_layout_start = np.arange(s, dtype=np.int64) * m
-    else:
-        dummy_start = n
-        n_rows = max(int(slot_sorted_start.max()) if s else 0,
-                     dummy_start) + m
-        x_sorted = np.zeros((n_rows, d), np.float32)
-        x_sorted[:n] = x[order]
-        x_sorted_dev = jnp.asarray(x_sorted)
-        slot_starts_x = np.append(slot_sorted_start.astype(np.int32),
-                                  np.int32(dummy_start))
-        slot_counts_x = np.append(slot_counts, np.int32(0))
-        cand_to_orig = np.concatenate(
-            [order, np.zeros(n_rows - n, np.int32)])
-        slot_layout_start = slot_sorted_start
+    # --- 3. device layout (cluster-sorted rows + a dummy tail slot) ---
+    dummy_start = n
+    n_rows = max(int(slot_sorted_start.max()) if s else 0,
+                 dummy_start) + m
+    x_sorted = np.zeros((n_rows, d), np.float32)
+    x_sorted[:n] = x[order]
+    x_sorted_dev = jnp.asarray(x_sorted)
+    slot_starts_x = np.append(slot_sorted_start.astype(np.int32),
+                              np.int32(dummy_start))
+    slot_counts_x = np.append(slot_counts, np.int32(0))
+    cand_to_orig = np.concatenate(
+        [order, np.zeros(n_rows - n, np.int32)])
+    slot_layout_start = slot_sorted_start
 
     def _build_probe_ids(np_eff, query_clusters):
         """(Q, P) slot-id probe lists for the np_eff nearest clusters of
@@ -378,13 +365,7 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
         ns_real = len(sel)
         probe_ids = _build_probe_ids(np_eff, slot_cluster[sel])
         p_bucket = probe_ids.shape[1]
-        if use_pallas:
-            # probe lists are scalar-prefetched into SMEM (~1 MB): keep
-            # ns * P * 4 bytes under ~512 KB per dispatch
-            batch = int(np.clip(_pow2_up(480_000 // (4 * p_bucket) + 1) // 2,
-                                64, 512))
-        else:
-            batch = 256 if ns_real > 256 else _round_up(ns_real, 64)
+        batch = 256 if ns_real > 256 else _round_up(ns_real, 64)
         ns = _round_up(ns_real, batch)
         probe_pad = np.full((ns, p_bucket), dummy_slot, np.int32)
         probe_pad[:ns_real] = probe_ids
@@ -392,31 +373,21 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
             [sel, np.full(ns - ns_real, dummy_slot, np.int64)])
 
         handles = []
-        if use_pallas:
-            from ..ops.ivf_pallas import score_slots_pallas
-
-            for lo in range(0, ns, batch):
-                hi = lo + batch
-                handles.append(score_slots_pallas(
-                    x3, jnp.asarray(sel_pad[lo:hi].astype(np.int32)),
-                    jnp.asarray(probe_pad[lo:hi]), slot_counts_dev, k, m,
-                    interpret=pallas_interpret))
-        else:
-            probe_chunk = 16
-            per_slot = (probe_chunk * m * m
-                        + 2 * p_bucket * m * min(k, m))
-            chunk = max(1, min(batch, int(2.2e8 // max(per_slot, 1)) or 1))
-            if chunk > 1:  # power-of-two bucket: reuse compiled programs
-                chunk = _pow2_up(chunk + 1) // 2
-            for lo in range(0, ns, batch):
-                hi = lo + batch
-                handles.append(_score_slots(
-                    x_sorted_dev,
-                    jnp.asarray(slot_starts_x[sel_pad[lo:hi]]),
-                    jnp.asarray(slot_counts_x[sel_pad[lo:hi]]),
-                    jnp.asarray(slot_starts_x[probe_pad[lo:hi]]),
-                    jnp.asarray(slot_counts_x[probe_pad[lo:hi]]),
-                    k, m, chunk, probe_chunk))
+        probe_chunk = 16
+        per_slot = (probe_chunk * m * m
+                    + 2 * p_bucket * m * min(k, m))
+        chunk = max(1, min(batch, int(2.2e8 // max(per_slot, 1)) or 1))
+        if chunk > 1:  # power-of-two bucket: reuse compiled programs
+            chunk = _pow2_up(chunk + 1) // 2
+        for lo in range(0, ns, batch):
+            hi = lo + batch
+            handles.append(_score_slots(
+                x_sorted_dev,
+                jnp.asarray(slot_starts_x[sel_pad[lo:hi]]),
+                jnp.asarray(slot_counts_x[sel_pad[lo:hi]]),
+                jnp.asarray(slot_starts_x[probe_pad[lo:hi]]),
+                jnp.asarray(slot_counts_x[probe_pad[lo:hi]]),
+                k, m, chunk, probe_chunk))
         if len(handles) == 1:
             negd_s, idx_s = handles[0]
             return np.asarray(negd_s[:ns_real]), np.asarray(idx_s[:ns_real])
@@ -495,13 +466,19 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
         # path's granularity and similar for the XLA path's coarser
         # clusters (measured; see BENCH notes) — start the pilot at 10%
         # and let the power law close the gap in fine steps
-        np_c = max(np_eff, min(c // 10 if use_pallas else c // 8, np_max))
+        # hold out half the truth queries for post-search verification
+        # (advisor r3: calibrating AND verifying on the same sample is
+        # winner's-curse-biased — the selected nprobe is the first whose
+        # SAMPLE recall clears the floor)
+        half = len(q_orig) // 2
+        cal_ix = np.arange(len(q_orig)) < half
+        np_c = max(np_eff, min(c // 8, np_max))
         while True:
             with _prof.phase(f"ivf_pilot(nprobe={np_c})"):
                 _, idx_p = _score_subset(np_c, ps_ids)
             got = cand_to_orig[np.clip(idx_p[slot_of_q, off_of_q], 0,
                                        cand_clip)]
-            rec = _recall_against(got, true_idx, k)
+            rec = _recall_against(got[cal_ix], true_idx[cal_ix], k)
             history.append((np_c, rec))
             if rec >= min_recall or np_c >= np_max:
                 if rec < min_recall:
@@ -531,7 +508,8 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
                   f"at nprobe={history[-1][0]}; trying {np_c}",
                   file=sys.stderr)
         np_eff = np_c
-        truth = (q_orig, true_idx)  # reuse for the post-search check
+        # post-search checks use the HELD-OUT half only
+        truth = (q_orig[~cal_ix], true_idx[~cal_ix])
     else:
         pilot_stop = None
         truth = None
@@ -545,7 +523,8 @@ def ivf_knn(points, k, n_clusters=None, nprobe=24, kmeans_iters=None,
             if truth is not None:
                 # the pilot already paid for an exact-truth sample on
                 # random slots' cells; the full search is checked
-                # against the SAME truth instead of buying a second one
+                # against its HELD-OUT half instead of buying a second
+                # sample (the calibration half would be biased)
                 rec = _recall_against(indices[truth[0]], truth[1], k)
             else:
                 rec = measured_recall(x, indices, k, sample=recall_sample,
