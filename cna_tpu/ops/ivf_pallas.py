@@ -172,9 +172,11 @@ def _score_kernel(pid_ref, scnt_ref, csum_ref, q_ref, cand_refs,
         outi_ref[0] = besti_ref[:]
 
 
-@partial(jax.jit, static_argnames=("k", "g", "q_blocks", "interpret"))
+@partial(jax.jit, static_argnames=("k", "g", "q_blocks", "cb",
+                                   "interpret"))
 def score_blocks_pallas(x4, sel_ids, probe_ids, blk_counts, blk_csum, k,
-                        g=128, q_blocks=4, interpret=False):
+                        g=128, q_blocks=4, cb=CANDS_PER_STEP,
+                        interpret=False):
     """Exact top-k of each slot's rows against its probed fine blocks.
 
     x4: (F_pad, g, d_pad) float32 — fine-block layout (block b = layout
@@ -200,7 +202,6 @@ def score_blocks_pallas(x4, sel_ids, probe_ids, blk_counts, blk_csum, k,
     """
     ns = sel_ids.shape[0]
     p = probe_ids.shape[1]
-    cb = CANDS_PER_STEP
     if p % cb:
         raise ValueError(f"probe list width must be a multiple of {cb} "
                          "(pad with a count-0 dummy block)")

@@ -274,7 +274,12 @@ def build_fine_index(x_dev, n, d, seed=0, g=128, q_blocks=4,
         sizes_r = np.bincount(rank_of[cid], minlength=c)  # by rank
         nblk = -(-sizes_r // g)                    # 0 for empty clusters
         f_real = int(nblk.sum())
-        f_pad = _round_up(f_real + 1, max(16, 4 * q_blocks))
+        # quarter-octave bucket: F_pad (hence x4/cents/probe shapes and
+        # every downstream compiled program) is IDENTICAL across nearby
+        # dataset sizes and k-means seeds — without this, each dataset
+        # recompiled the whole search (~30-60 s/shape via the tunnel;
+        # the 1M r4 probe spent 100+ s of its "warm" run recompiling)
+        f_pad = _bucket16(f_real + 1)
         blk0 = np.concatenate([[0], np.cumsum(nblk)[:-1]])
 
         # per sorted row: block + intra position
@@ -469,11 +474,12 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
     from ..utils.profiling import global_profiler
 
     prof = profiler or global_profiler()
-    x = np.asarray(points, dtype=np.float32)
-    n, d = x.shape
+    # device inputs stay on device (an (N, d) d2h pull at 1M costs ~10 s
+    # through the tunnel); hosts arrays ship once as f32
+    x_dev = jnp.asarray(points, dtype=jnp.float32)
+    n, d = x_dev.shape
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    x_dev = jnp.asarray(x)
     index = build_fine_index(
         x_dev, n, d, seed=seed, g=g, q_blocks=q_blocks,
         n_clusters=n_clusters, target_rows=target_rows,
@@ -504,7 +510,7 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
         n_q = min(recall_sample, len(pilot_cells))
         q_compact = rng_p.choice(pilot_cells, n_q, replace=False)
         with prof.phase("ivf_exact_truth"):
-            true_idx = exact_knn_sample(x, index.order[q_compact], k,
+            true_idx = exact_knn_sample(x_dev, index.order[q_compact], k,
                                         exact=False)
         half = n_q // 2
         cal_q, ver_q = q_compact[:half], q_compact[half:]
@@ -569,7 +575,7 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
                 idx_host = np.empty((n, k), np.int32)
                 idx_host[index.order] = index.order[
                     np.asarray(indices_dev)]
-                rec = measured_recall(x, idx_host, k,
+                rec = measured_recall(x_dev, idx_host, k,
                                       sample=recall_sample, seed=seed,
                                       exact=False)
         final_rec = rec

@@ -71,6 +71,20 @@ _AUTO_EXACT_MAX_N = 20_000
 _AUTO_IVF_MIN_N = 262_144
 
 
+def resolve_method(n, method):
+    """Resolve 'auto' to a concrete kNN method for ``n`` points (see
+    ``knn_search``); explicit methods pass through unchanged."""
+    if method != "auto":
+        return method
+    if n <= _AUTO_EXACT_MAX_N:
+        return "exact"
+    if n > _AUTO_IVF_MIN_N:
+        return "ivf"
+    if jax.devices()[0].platform == "tpu":
+        return "pallas"
+    return "approx"
+
+
 def knn_search(points, k, query_block=4096, key_block=8192, method="auto"):
     """kNN of ``points`` against themselves.
 
@@ -100,15 +114,7 @@ def knn_search(points, k, query_block=4096, key_block=8192, method="auto"):
     """
     x = jnp.asarray(points)
     n = x.shape[0]
-    if method == "auto":
-        if n <= _AUTO_EXACT_MAX_N:
-            method = "exact"
-        elif n > _AUTO_IVF_MIN_N:
-            method = "ivf"
-        elif jax.devices()[0].platform == "tpu":
-            method = "pallas"
-        else:
-            method = "approx"
+    method = resolve_method(n, method)
     if method == "pallas":
         from ..ops.knn_pallas import knn_pallas
 

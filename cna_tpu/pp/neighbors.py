@@ -129,7 +129,7 @@ def _union_chunk(idx_chunk, w_chunk, indices, w, row0):
     return w_chunk + b - w_chunk * b, code
 
 
-def fuzzy_union_device(indices_dev, w_dev, chunk_rows=262_144):
+def fuzzy_union_device(indices_dev, w_dev, chunk_rows=65_536):
     """Symmetrized fuzzy-union strengths aligned to the kNN edge list.
 
     Returns (w_sym (N, k) float, code (N, k) int8) on device:
@@ -139,7 +139,9 @@ def fuzzy_union_device(indices_dev, w_dev, chunk_rows=262_144):
     partner's own row will not emit it).  Because both a and b are
     elements of the SAME device weight array and a+b-a*b is evaluated
     identically from either side, the resulting matrix is float-exact
-    symmetric.  Row chunks bound the (B, k, k) gather at ~60 MB.  TPU
+    symmetric.  Row chunks bound the two (B, k, k) gather buffers at
+    ~60 MB each for k=15 (advisor r3: the old 262144-row default put
+    them at ~236 MB apiece).  TPU
     row-gather granularity makes this ~2 x (N fetches x 4KB-tile)
     traffic (see CLAUDE.md row-gather invariant) — ~1 s per pass at 1M
     cells, vs ~15-20 s for the host radix-sort union it replaces.
@@ -259,6 +261,52 @@ def fuzzy_connectivities(indices, dists):
     return result
 
 
+def _neighbors_device(data, rep, n_neighbors, method):
+    """Atlas-scale graph build with ZERO (N, k)-sized host transfers.
+
+    The IVF search returns device-resident kNN lists in compact layout
+    order (``pp.ivf_fine``); the fuzzy union and the symmetric-ELL pack
+    (``graph.device.build_sym_ell``) consume them in place.  What lands
+    in ``obsp`` are lazy faces that materialize scipy matrices only if
+    something actually asks for them — ``tl.association`` never does
+    (it takes the packed graph + reordering straight from
+    ``DeviceConnectivities``).  Round-3 spent 12-18 s of the 1M graph
+    build pulling and re-assembling what this path never moves.
+    """
+    from ..graph.device import DeviceConnectivities, LazyDistances, \
+        build_sym_ell
+    from ..graph.reorder import Reordering
+    from ..utils.profiling import global_profiler
+    from .ivf import ivf_knn_device
+
+    _prof = global_profiler()
+    n = data.n_obs
+    with _prof.phase("knn", cells=n):
+        res = ivf_knn_device(rep, n_neighbors)
+    with _prof.phase("fuzzy_graph", cells=n):
+        idx_dev, d_dev = res.indices, res.dists
+        rho, sigma = smooth_knn_dist(
+            d_dev, jnp.log2(jnp.asarray(float(n_neighbors))))
+        w = membership_strengths(d_dev, rho, sigma, idx_dev)
+        w_sym, code = fuzzy_union_device(idx_dev, w)
+        ell = build_sym_ell(idx_dev, w_sym, code)
+        inv = np.empty(n, dtype=res.order.dtype)
+        inv[res.order] = np.arange(n, dtype=res.order.dtype)
+        ordering = Reordering(perm=res.order, inv=inv)
+        conn = DeviceConnectivities(ell, ordering, n)
+
+    data.obsp["connectivities"] = conn
+    data.obsp["distances"] = LazyDistances(idx_dev, d_dev, res.order)
+    data.uns["neighbors"] = {
+        "connectivities_key": "connectivities",
+        "distances_key": "distances",
+        "params": {"n_neighbors": n_neighbors, "method": "umap",
+                   "knn_method": method,
+                   "metric": "euclidean"},
+    }
+    return conn
+
+
 def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None,
               method="auto"):
     """Build the cell-cell graph: kNN + fuzzy connectivities.
@@ -267,11 +315,15 @@ def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None,
     reference: writes ``obsp['distances']`` (directed kNN distances),
     ``obsp['connectivities']`` (symmetric fuzzy weights, what
     ``cna_tpu.tl`` diffusion consumes), and ``uns['neighbors']`` metadata.
+    On the IVF path (``method='ivf'``, or 'auto' at atlas scale) both
+    obsp entries are device-resident lazy objects — scipy matrices
+    materialize on demand, and ``tl`` consumes the device graph directly.
 
     Representation: ``obsm[use_rep]`` if given, else ``obsm['X_pca']``
     (computed on the fly from ``data.X`` when absent), truncated to
     ``n_pcs`` components.
     """
+    from .knn import resolve_method
     from .pca import device_rep
 
     if use_rep is None:
@@ -286,11 +338,15 @@ def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None,
     if n_pcs is not None:
         rep = rep[:, :n_pcs]
 
+    resolved = resolve_method(data.n_obs, method)
+    if resolved == "ivf":
+        return _neighbors_device(data, rep, n_neighbors, method)
+
     from ..utils.profiling import global_profiler
 
     _prof = global_profiler()
     with _prof.phase("knn", cells=data.n_obs):
-        indices, dists = knn_search(rep, n_neighbors, method=method)
+        indices, dists = knn_search(rep, n_neighbors, method=resolved)
         # pull both (N, k) arrays exactly once; everything downstream
         # (distances CSR, fuzzy union) is host-side
         indices = np.asarray(indices)

@@ -120,6 +120,94 @@ def _pca_sparse(x, n_comps, chunk_rows=65_536):
     return scores_dev, evals[:n_comps], comps, float(cov.trace())
 
 
+def _pca_dense_streamed(x_host, n_comps, chunk_rows=131_072):
+    """Dense PCA with CHUNKED async host->device ingest.
+
+    One monolithic ``jnp.asarray(X)`` serializes a 200 MB f32 transfer
+    (~3-4 s through the tunnel at 1M x 50) before any FLOP runs.  Here
+    chunks ship via ``jax.device_put`` (async) and the gram/projection
+    matmuls of chunk i overlap the transfer of chunk i+1.  Exact — same
+    two-stage centered-gram math as ``_pca_sparse``.
+    """
+    from ..config import default_float
+
+    dtype = default_float()
+    n, g = x_host.shape
+    np_dtype = np.dtype(str(jnp.zeros((), dtype).dtype))
+    chunks = [
+        jax.device_put(np.ascontiguousarray(
+            x_host[lo:lo + chunk_rows]).astype(np_dtype, copy=False))
+        for lo in range(0, n, chunk_rows)
+    ]
+    gram = jnp.zeros((g, g), dtype=dtype)
+    colsum = jnp.zeros((g,), dtype=dtype)
+    for blk in chunks:
+        gg, cs = _gram_chunk(blk)
+        gram = gram + gg
+        colsum = colsum + cs
+    gram = np.asarray(jax.device_get(gram))
+    mean = np.asarray(jax.device_get(colsum)) / n
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    evals = evals[::-1]
+    evecs = evecs[:, ::-1]
+    comps = np.ascontiguousarray(evecs[:, :n_comps])
+    comps_dev = jnp.asarray(comps.astype(np_dtype))
+    shift = jnp.asarray((mean @ comps).astype(np_dtype))
+    scores_dev = jnp.concatenate(
+        [_project_chunk(blk, comps_dev, shift) for blk in chunks], axis=0)
+    return scores_dev, evals[:n_comps], comps, float(cov.trace())
+
+
+_STREAM_MIN_ELEMS = 16_000_000
+
+
+class LazyScores:
+    """Host face of the device-resident PCA scores.
+
+    ``obsm['X_pca']`` consumers that actually need host values
+    (``np.asarray``, slicing, plotting) pull once on first touch; the
+    graph-build path reads the device twin through ``device_rep`` and
+    never pays the d2h (~10 s for 80 MB at 1M cells through the
+    tunnel — round 3 paid it unconditionally inside ``pp.pca``).
+    """
+
+    def __init__(self, dev):
+        self._dev = dev
+        self._host = None
+
+    def _mat(self):
+        if self._host is None:
+            self._host = np.asarray(jax.device_get(self._dev))
+        return self._host
+
+    @property
+    def materialized(self):
+        return self._host is not None
+
+    @property
+    def shape(self):
+        return tuple(self._dev.shape)
+
+    @property
+    def ndim(self):
+        return 2
+
+    @property
+    def dtype(self):
+        return np.dtype(str(self._dev.dtype))
+
+    def __len__(self):
+        return self.shape[0]
+
+    def __array__(self, dtype=None, copy=None):
+        m = self._mat()
+        return m.astype(dtype) if dtype is not None else m
+
+    def __getitem__(self, key):
+        return self._mat()[key]
+
+
 def pca_array(x, n_comps=50):
     """Return (scores (N, n_comps), explained variance, components)."""
     x = jnp.asarray(x)

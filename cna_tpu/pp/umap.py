@@ -167,6 +167,9 @@ def umap(data, n_components=2, n_epochs=None, min_dist=0.1, spread=1.0,
         raise KeyError("run cna_tpu.pp.neighbors before pp.umap")
     import scipy.sparse as sp
 
+    if not sp.issparse(conn):  # device-resident graph: materialize
+        conn = conn.tocsr()
+
     coo = sp.coo_matrix(sp.triu(conn, k=1) + sp.triu(conn.T, k=1))
     # symmetric graph: keep each undirected edge once (upper triangle)
     coo.sum_duplicates()

@@ -104,12 +104,21 @@ def get_device_graph(data, fmt=None):
     axes the BlockGraph is built on (callers permute the diffusion state
     in and out once per pipeline).
     """
+    from ..graph.device import DeviceConnectivities
+
     conn = get_connectivity(data)
     if isinstance(conn, EllGraph):
         return conn, None
     uns = getattr(data, "uns", None)
     if fmt is None:
         fmt = uns.get(_FORMAT_KEY, "ell") if uns is not None else "ell"
+    if isinstance(conn, DeviceConnectivities):
+        if fmt in ("ell", "bucketed"):
+            # already packed on device (compact order); 'bucketed' — the
+            # single-device default — is satisfied by the device ELL
+            # (mirror columns are width-fitted, no repack needed)
+            return conn.ell, conn.ordering
+        conn = conn.tocsr()  # explicit block/banded request: materialize
     cache_key = f"{_ELL_CACHE_KEY}:{fmt}"
     if uns is not None:
         cached = uns.get(cache_key)
@@ -170,9 +179,14 @@ def get_halo_plan(data, n_shards):
     represent the graph (an imported ``EllGraph`` carrying COO overflow
     edges) — callers fall back to the GSPMD path.
     """
+    from ..graph.device import DeviceConnectivities
     from ..parallel.halo import build_halo_plan, build_halo_plan_csr
 
     conn = get_connectivity(data)
+    if isinstance(conn, DeviceConnectivities):
+        # halo planning is host-side graph partitioning; materialize the
+        # CSR once (cached on the object) and plan from it
+        conn = conn.tocsr()
     uns = getattr(data, "uns", None)
     key = f"{_HALO_PLAN_KEY}:{n_shards}"
     if uns is not None:
@@ -327,12 +341,19 @@ def diffuse_stepwise(data, s, maxnsteps=15, show_progress=False, self_weight=1):
     matches the input's type, with DataFrame labels preserved.
     """
     out = select_output(show_progress)
-    graph = get_ell_graph(data)
+    graph, ordering = get_device_graph(data, fmt="ell")
     labels = None
     if isinstance(s, pd.DataFrame):
         labels = (s.index, s.columns)
         s = s.to_numpy()
     s = jnp.asarray(s, dtype=graph.weights.dtype)
+    # a device graph may live in a permuted (compact) cell order: step in
+    # that order, yield every step in the caller's order
+    perm = inv = None
+    if ordering is not None:
+        perm = jnp.asarray(ordering.perm)
+        inv = jnp.asarray(ordering.inv)
+        s = jnp.take(s, perm, axis=0)
     colsums = graph.colsums(self_weight)
     block_rows = _auto_block_rows(graph.n_cells, graph.max_degree, s.shape[1])
     for i in range(maxnsteps):
@@ -341,10 +362,12 @@ def diffuse_stepwise(data, s, maxnsteps=15, show_progress=False, self_weight=1):
             s, graph, colsums,
             jnp.asarray(self_weight, dtype=s.dtype), block_rows=block_rows,
         )
+        s_out = s if inv is None else jnp.take(s, inv, axis=0)
         if labels is not None:
-            yield pd.DataFrame(np.asarray(s), index=labels[0], columns=labels[1])
+            yield pd.DataFrame(np.asarray(s_out), index=labels[0],
+                               columns=labels[1])
         else:
-            yield s
+            yield s_out
 
 
 def diffuse(data, s, nsteps, show_progress=False, self_weight=1):

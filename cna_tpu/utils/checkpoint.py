@@ -21,8 +21,15 @@ import numpy as np
 def _graph_fingerprint(conn, sid_codes, nsteps, self_weight) -> str:
     import scipy.sparse as sp
 
+    from ..graph.device import DeviceConnectivities
+
     h = hashlib.sha256()
-    if sp.issparse(conn):
+    if isinstance(conn, DeviceConnectivities):
+        # device graph: hash its cheap on-device content summary instead
+        # of materializing/pulling the (N, K) arrays
+        for part in conn.content_digest():
+            h.update(part)
+    elif sp.issparse(conn):
         csr = conn.tocsr()
         h.update(np.ascontiguousarray(csr.indptr))
         h.update(np.ascontiguousarray(csr.indices))
