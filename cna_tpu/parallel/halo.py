@@ -12,13 +12,22 @@ the **ghost rows** its neighbors reference, via one ``all_to_all`` inside
 The exchange plan (which rows each shard pair needs) is computed once on
 host from the CSR structure in a handful of vectorized passes (one sort
 over the cross-shard edges — no per-pair Python loops), so plan builds
-stay in seconds at atlas scale.  Per-pair ghost lists are padded to the
-global max so the collective has a static shape.  The plan only pays off
-when the cell axis is locality-ordered first (``tools._nam.get_halo_plan``
-applies a cluster ordering before building) — on cluster-ordered manifold
-graphs ghosts are a small fraction of N; on expander-like graphs the plan
-degenerates towards an all-gather — never worse in bytes than the dense
-exchange by more than the padding factor.
+stay in seconds at atlas scale.
+
+The exchange itself is MULTI-ROUND ``ppermute`` over ring offsets, not
+one padded ``all_to_all``: round r ships each shard's ghosts for the
+consumer r positions ahead, padded only to that OFFSET's max pair
+(rounds with no traffic are dropped from the program entirely).  On a
+locality-ordered partition almost all ghosts flow between ADJACENT
+shards, so offsets 1 and D-1 carry the bulk and the padded volume stays
+within ~2x the true ghost bytes — the round-3 single-``all_to_all``
+design padded every pair to the GLOBAL max and shipped 9.5x the ghost
+bytes at 16 shards and 23x at 32 (VERDICT r3), exactly where a v5p-16
+would run.  The plan only pays off when the cell axis is
+locality-ordered first (``tools._nam.get_halo_plan`` applies a cluster
+ordering before building) — on expander-like graphs it degenerates
+towards an all-gather — never worse in bytes than the dense exchange by
+more than the padding factor.
 
 Hub rows (UMAP-union degree reaches ~20x the mean) would force the local
 ELL width to the max degree; instead the pack splits at a degree
@@ -57,8 +66,11 @@ class HaloPlan:
         all-zero weights).
       hub_indices / hub_weights: (D, H, K2) — the heavy rows' overflow
         edges, same extended-layout index space.
-      send_idx: (D, D, G) int32 — send_idx[j, i] = rows (local to shard j)
-        that shard i needs; padded slots resend row 0 (ignored by i).
+      send_rounds: tuple of (D, G_r) int32 — one entry per NON-EMPTY ring
+        offset; ``send_rounds[t][j]`` = rows (local to shard j) that the
+        consumer ``(j + rounds[t]) % D`` needs, padded to this OFFSET's
+        max-pair count (padding resends row 0, ignored downstream).
+      rounds: static tuple of the ring offsets actually exchanged.
       colsums: (D, Nd) column-sum normalizer rows owned by each shard.
       n_cells: true cell count (before shard padding).
       n_ghosts: true (unpadded) ghost rows exchanged per step.
@@ -69,10 +81,12 @@ class HaloPlan:
     hub_rows: jnp.ndarray
     hub_indices: jnp.ndarray
     hub_weights: jnp.ndarray
-    send_idx: jnp.ndarray
+    send_rounds: tuple
     colsums: jnp.ndarray
     n_cells: int = dataclasses.field(metadata=dict(static=True))
     n_ghosts: int = dataclasses.field(default=0, metadata=dict(static=True))
+    rounds: tuple = dataclasses.field(default=(),
+                                      metadata=dict(static=True))
 
     @property
     def n_shards(self) -> int:
@@ -81,10 +95,6 @@ class HaloPlan:
     @property
     def shard_rows(self) -> int:
         return self.local_indices.shape[1]
-
-    @property
-    def ghosts_per_pair(self) -> int:
-        return self.send_idx.shape[2]
 
     def ghost_fraction(self) -> float:
         """True (unpadded) ghost rows exchanged per step, as a fraction of
@@ -102,13 +112,14 @@ class HaloPlan:
         and ``allgather`` (the dense alternative: every shard receives
         every remote row)."""
         d, nd = self.colsums.shape
-        g = self.ghosts_per_pair
         row = s_cols * itemsize
+        padded_rows = sum(int(s.shape[1]) for s in self.send_rounds) * d
         return {
             "ghost_bytes": self.n_ghosts * row,
-            "padded_bytes": d * (d - 1) * g * row,
+            "padded_bytes": padded_rows * row,
             "allgather_bytes": d * (d - 1) * nd * row,
             "ghost_fraction": self.ghost_fraction(),
+            "rounds": len(self.rounds),
         }
 
 
@@ -169,15 +180,33 @@ def build_halo_plan_csr(a, n_shards, colsums=None, pad_to=8,
     ucol = uk % n_pad
     uprod = ucol // nd
     pair = (ucons * d + uprod).astype(np.int64)  # non-decreasing
-    counts = np.bincount(pair, minlength=d * d)
-    g = _round_up(max(int(counts.max()) if counts.size else 0, 1), pad_to)
-    seg_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    counts = np.bincount(pair, minlength=d * d).reshape(d, d)  # [cons, prod]
+    seg_start = np.concatenate([[0], np.cumsum(counts.ravel())[:-1]])
 
-    send_idx = np.zeros((d, d, g), dtype=np.int32)
+    # per-RING-OFFSET padding: round r ships pair (p -> (p+r)%d), padded
+    # to max over p only — not to the global max pair (module docstring)
+    jj = np.arange(d)
+    g_r = np.zeros(d, dtype=np.int64)
+    for r in range(1, d):
+        g_r[r] = counts[(jj + r) % d, jj].max() if d > 1 else 0
+    rounds = tuple(int(r) for r in range(1, d) if g_r[r] > 0)
+    g_pad = {r: _round_up(int(g_r[r]), pad_to) for r in rounds}
+    base_of_round = np.full(d, -1, dtype=np.int64)
+    off = nd
+    for r in rounds:
+        base_of_round[r] = off
+        off += g_pad[r]
+
+    send_rounds = tuple(np.zeros((d, g_pad[r]), dtype=np.int32)
+                        for r in rounds)
     if n_ghosts:
-        pos_in_seg = np.arange(n_ghosts, dtype=np.int64) - seg_start[pair]
-        send_idx[uprod, ucons, pos_in_seg] = (ucol - uprod * nd).astype(
-            np.int32)
+        pos_in_seg = (np.arange(n_ghosts, dtype=np.int64)
+                      - seg_start[pair])
+        u_round = (ucons - uprod) % d
+        for t, r in enumerate(rounds):
+            in_r = u_round == r
+            send_rounds[t][uprod[in_r], pos_in_seg[in_r]] = (
+                ucol[in_r] - uprod[in_r] * nd).astype(np.int32)
 
     # --- remap every edge into the extended local layout ---
     ext_idx = np.empty(nnz, dtype=np.int64)
@@ -185,8 +214,8 @@ def build_halo_plan_csr(a, n_shards, colsums=None, pad_to=8,
     ext_idx[own] = cols[own] - cons[own] * nd
     if n_ghosts:
         gpos = np.searchsorted(uk, ck)  # exact: every ck is in uk
-        gpair = pair[gpos]
-        ext_idx[cross] = nd + uprod[gpos] * g + (gpos - seg_start[gpair])
+        ext_idx[cross] = (base_of_round[u_round[gpos]]
+                          + (gpos - seg_start[pair[gpos]]))
 
     # --- main ELL pack (first k1 edges of each row) ---
     main = pos < k1
@@ -228,10 +257,11 @@ def build_halo_plan_csr(a, n_shards, colsums=None, pad_to=8,
         hub_rows=jnp.asarray(hub_rows),
         hub_indices=jnp.asarray(hi),
         hub_weights=jnp.asarray(hw),
-        send_idx=jnp.asarray(send_idx),
+        send_rounds=tuple(jnp.asarray(s) for s in send_rounds),
         colsums=jnp.asarray(colsums_pad.reshape(d, nd)),
         n_cells=n,
         n_ghosts=n_ghosts,
+        rounds=rounds,
     )
 
 
@@ -273,19 +303,28 @@ def place_plan(plan: HaloPlan, mesh) -> HaloPlan:
         hub_rows=jax.device_put(plan.hub_rows, rows),
         hub_indices=jax.device_put(plan.hub_indices, rows),
         hub_weights=jax.device_put(plan.hub_weights, rows),
-        send_idx=jax.device_put(plan.send_idx, rows),
+        send_rounds=tuple(jax.device_put(s, rows)
+                          for s in plan.send_rounds),
         colsums=jax.device_put(plan.colsums, rows),
     )
 
 
 def _halo_step_local(t_local, idx, w, hub_rows, hub_idx, hub_w,
-                     send_idx_row):
-    """Per-shard body: exchange ghosts, SpMM against [own ‖ ghosts]."""
-    s_dim = t_local.shape[-1]
-    send_idx_row = send_idx_row[0]  # shard_map passes a (1, D, G) block
-    send = jnp.take(t_local, send_idx_row, axis=0)  # (D, G, S)
-    recv = jax.lax.all_to_all(send, meshlib.CELLS, 0, 0, tiled=False)
-    ext = jnp.concatenate([t_local, recv.reshape(-1, s_dim)], axis=0)
+                     send_rounds, rounds, n_shards):
+    """Per-shard body: multi-round ring exchange, SpMM on [own ‖ ghosts].
+
+    Round r: this shard sends its (1, G_r) listed rows to the consumer r
+    positions ahead via ``ppermute``; the receive lands at the static
+    extended-layout offset the plan remapped edges to.  Empty offsets
+    were dropped at plan build, so the program contains exactly the
+    collectives the graph needs.
+    """
+    parts = [t_local]
+    for sidx, r in zip(send_rounds, rounds):
+        send = jnp.take(t_local, sidx[0], axis=0)  # (G_r, S)
+        perm = [(j, (j + r) % n_shards) for j in range(n_shards)]
+        parts.append(jax.lax.ppermute(send, meshlib.CELLS, perm))
+    ext = jnp.concatenate(parts, axis=0)
     gathered = jnp.take(ext, idx, axis=0)  # (Nd, K, S)
     out = jnp.einsum("nk,nks->ns", w, gathered,
                      preferred_element_type=t_local.dtype)
@@ -312,18 +351,18 @@ def halo_diffusion_step(s, plan: HaloPlan, mesh, self_weight=1.0):
     t = s / colsums_flat[:, None]
 
     step = shard_map(
-        _halo_step_local,
+        partial(_halo_step_local, rounds=plan.rounds, n_shards=d),
         mesh=mesh,
         in_specs=(P(meshlib.CELLS), P(meshlib.CELLS), P(meshlib.CELLS),
                   P(meshlib.CELLS), P(meshlib.CELLS), P(meshlib.CELLS),
-                  # send_idx: shard over the PRODUCER axis (axis 0): shard j
-                  # holds send_idx[j] = what it sends to every consumer
-                  P(meshlib.CELLS)),
+                  # send lists shard over the PRODUCER axis (axis 0):
+                  # shard j holds what it sends at every ring offset
+                  tuple(P(meshlib.CELLS) for _ in plan.send_rounds)),
         out_specs=P(meshlib.CELLS),
         check_vma=False,
     )
     idx_flat = plan.local_indices.reshape(d * nd, -1)
     w_flat = plan.local_weights.reshape(d * nd, -1)
     out = step(t, idx_flat, w_flat, plan.hub_rows, plan.hub_indices,
-               plan.hub_weights, plan.send_idx)
+               plan.hub_weights, plan.send_rounds)
     return out + self_weight * t

@@ -11,14 +11,20 @@ tiles.  This module decouples the two granularities:
 
 * **candidates** live in fine g=128-row blocks (clusters of ~96 points,
   padded up to block multiples) — the probe-selection granularity;
-* **queries** are scored a SLOT at a time (q_blocks=4 consecutive fine
-  blocks, 512 rows) and each grid step scores 16 candidate blocks (a
-  2048-wide tile) — the MXU/fixed-cost granularity;
-* a slot's probe list ranks ALL fine blocks by **closest approach**
-  (min over the slot's queries of query-to-block-centroid distance) —
-  per-query-grade selection computed as one (512, F) matmul + min +
-  top_k per slot, fully on device, and consumed directly by the scoring
-  kernel's scalar prefetch.  No host round-trip anywhere in the search.
+* **queries** are scored one block (128 rows) at a time, each grid step
+  scoring 16 candidate blocks (a 2048-wide tile).  The r4 kernel
+  micro-bench (scripts/kernel_micro.py) showed the 128-row query tile
+  is FASTER per candidate visit than 512-row tiles (~0.5e-10 vs
+  ~0.55-1e-10 s/visit; lower VMEM pressure) — so the tightest
+  tile-regular query group costs nothing;
+* probe lists rank ALL fine blocks per query block by **own-centroid
+  distance** — one (F, F) centroid matmul + top_k for the whole index,
+  computed once per probe count and consumed directly by the scoring
+  kernel's scalar prefetch.  (A measured selection-ceiling study chose
+  this statistic: closest-approach/min-over-queries loses ~25% budget
+  efficiency to outlier queries, per-query ranking would halve the
+  budget again but cannot feed a tile-regular kernel.)  No host
+  round-trip anywhere in the search.
 
 Results stay on device in COMPACT LAYOUT coordinates (cells sorted by
 kd-ordered fine cluster): the kernel emits compact neighbor ids via a
@@ -228,7 +234,7 @@ def _block_centroids(x4, counts_dev):
                      jnp.asarray(_DUMMY_CENTROID, x4.dtype))
 
 
-def build_fine_index(x_dev, n, d, seed=0, g=128, q_blocks=4,
+def build_fine_index(x_dev, n, d, seed=0, g=128, q_blocks=1,
                      target_rows=96, n_clusters=None,
                      kmeans_sample=524_288, kmeans_iters=8,
                      profiler=None) -> FineIndex:
@@ -319,28 +325,34 @@ def build_fine_index(x_dev, n, d, seed=0, g=128, q_blocks=4,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("u", "q_blocks", "g"))
-def _rank_blocks(x4, counts_dev, cents, sel_ids, u, q_blocks, g):
-    """(B, u) fine-block probe lists for the slots ``sel_ids``, ranked by
-    CLOSEST APPROACH: min over the slot's live queries of the query-to-
-    block-centroid squared distance.  Per-query-grade probe selection at
-    slot-level tile regularity — the round-3 measurement showed this is
-    where IVF recall is won (module docstring)."""
-    b = sel_ids.shape[0]
-    qb_ids = (sel_ids[:, None] * q_blocks
-              + jnp.arange(q_blocks, dtype=sel_ids.dtype)[None, :]).reshape(-1)
-    q = x4[qb_ids]                       # (B*qb, g, d_pad) block gather
-    qc = counts_dev[qb_ids]              # (B*qb,)
-    d_pad = x4.shape[2]
-    q2 = q.reshape(-1, d_pad)
-    qn = jnp.sum(q2 * q2, axis=1, keepdims=True)
+@partial(jax.jit, static_argnames=("u",))
+def _rank_blocks_centroid(cents, u):
+    """(F_pad, u) probe table: every block's u nearest blocks by
+    CENTROID distance, one (F, F) matmul + top_k for the whole index.
+
+    Ranking-statistic choice is measured, not guessed (20k archetype
+    data, selection-ceiling study, r4): per-block own-centroid ranking
+    covers true-neighbor blocks at ~25% less candidate budget than
+    closest-approach over a 512-row slot (min-over-queries is dragged by
+    outlier queries; a 4-block slot dilutes the list 1.07x further), and
+    the kernel micro-bench showed 128-row query tiles are FASTER per
+    candidate visit than 512-row tiles (VMEM pressure) — so the tight
+    group costs nothing and the ranking needs no per-query matmul at
+    all.  Each block's own id ranks first (distance 0), guaranteeing
+    self-coverage.  Dummy blocks sit at ``_DUMMY_CENTROID`` so their
+    squared distance overflows to +inf and they rank last."""
     cn = jnp.sum(cents * cents, axis=1)
-    d2 = qn - 2.0 * (q2 @ cents.T) + cn[None, :]   # (B*qb*g, F_pad)
-    dead = (jnp.arange(g, dtype=jnp.int32)[None, :]
-            >= qc[:, None]).reshape(-1)            # (B*qb*g,)
-    d2 = jnp.where(dead[:, None], jnp.inf, d2)
-    slot_d2 = d2.reshape(b, q_blocks * g, -1).min(axis=1)  # (B, F_pad)
-    _, probe = jax.lax.top_k(-slot_d2, u)
+    d2 = cn[:, None] - 2.0 * (cents @ cents.T) + cn[None, :]
+    # approx_max_k, not lax.top_k: the full-width sort of the (F, F)
+    # table cost ~10 s at F=8192 on the v5e (top-k ops are the TPU trap,
+    # CLAUDE.md); PartialReduce is ~free and probe LIST MEMBERSHIP is
+    # what matters — a ~2% membership perturbation at the far tail is
+    # inside the pilot's measured-recall calibration loop anyway.  The
+    # own block (distance 0, the max) always survives the reduction.
+    if u <= d2.shape[1] // 4:
+        _, probe = jax.lax.approx_max_k(-d2, u, recall_target=0.97)
+    else:
+        _, probe = jax.lax.top_k(-d2, u)
     return probe.astype(jnp.int32)
 
 
@@ -350,25 +362,33 @@ def _rank_blocks(x4, counts_dev, cents, sel_ids, u, q_blocks, g):
 
 
 def _score_slots(index: FineIndex, u: int, slot_ids: np.ndarray, k: int,
-                 interpret: bool):
-    """Rank + score a set of slots at probe count ``u``; returns a list
+                 interpret: bool, probe_cache: dict):
+    """Score a set of query slots at probe count ``u``; returns a list
     of ((negd, idx) device handles, real slot count) batches.
 
-    Macro-batched: one moderate program dispatched repeatedly beats one
-    giant program over every slot — a single multi-minute dispatch is
-    exactly what the tunneled runtime kills (measured; CLAUDE.md), and
-    batches pipeline against each other.  Batch size is capped so the
-    scalar-prefetched (batch, u) probe matrix stays well inside the
-    ~1 MB SMEM budget (no lower clamp: advisor r3 flagged that a floor
-    can blow the budget at large u).
+    The (F_pad, u) probe table is computed once per ``u`` on device
+    (``probe_cache`` spans pilot rounds and the full search) and sliced
+    per batch.  Macro-batched: one moderate program dispatched
+    repeatedly beats one giant program over every slot — a single
+    multi-minute dispatch is exactly what the tunneled runtime kills
+    (measured; CLAUDE.md), and batches pipeline against each other.
+    Batch size is capped so the scalar-prefetched (batch, u) probe
+    matrix stays well inside the ~1 MB SMEM budget (no lower clamp:
+    advisor r3 flagged that a floor can blow the budget at large u).
     """
     sel = np.asarray(slot_ids, np.int64)
     ns_real = len(sel)
-    batch = max(1, min(256, int(480_000 // (4 * max(u, 1)))))
+    batch = max(1, min(512, int(480_000 // (4 * max(u, 1)))))
     batch = max(_pow2_up(batch + 1) // 2, 1)
     batch = min(batch, _pow2_up(ns_real))  # don't pad tiny selections up
-    rank_chunk = max(1, min(batch, int(6.0e8 // (4 * index.q_blocks
-                                                 * index.g * index.f_pad))))
+    if u not in probe_cache:
+        table = _rank_blocks_centroid(index.cents, u)
+        if index.q_blocks > 1:
+            # probe list of a multi-block slot: its first block's table
+            # row (blocks in a slot are kd-adjacent, lists nearly equal)
+            table = table[::index.q_blocks][: index.n_slots]
+        probe_cache[u] = table
+    table = probe_cache[u]
     out = []
     pad_slot = index.n_slots - 1
     for lo in range(0, ns_real, batch):
@@ -376,15 +396,8 @@ def _score_slots(index: FineIndex, u: int, slot_ids: np.ndarray, k: int,
         sel_b = np.full(batch, pad_slot, np.int64)
         sel_b[: hi - lo] = sel[lo:hi]
         sel_dev = jnp.asarray(sel_b.astype(np.int32))
-        probes = [
-            _rank_blocks(index.x4, index.blk_counts_dev, index.cents,
-                         sel_dev[c0:c0 + rank_chunk], u, index.q_blocks,
-                         index.g)
-            for c0 in range(0, batch, rank_chunk)
-        ]
-        probe_dev = probes[0] if len(probes) == 1 else jnp.concatenate(probes)
         negd, idx = score_blocks_pallas(
-            index.x4, sel_dev, probe_dev, index.blk_counts_dev,
+            index.x4, sel_dev, table[sel_dev], index.blk_counts_dev,
             index.blk_csum_dev, k, g=index.g, q_blocks=index.q_blocks,
             interpret=interpret)
         out.append((negd, idx, hi - lo))
@@ -462,7 +475,7 @@ class FineSearchResult:
 
 
 def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
-                 g=128, q_blocks=4, n_clusters=None, target_rows=96,
+                 g=128, q_blocks=1, n_clusters=None, target_rows=96,
                  kmeans_sample=524_288, kmeans_iters=8, u0=None,
                  interpret=None, profiler=None) -> FineSearchResult:
     """Two-level IVF self-kNN; returns device results (module docstring).
@@ -487,10 +500,11 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
         profiler=prof)
     f = index.f_real
     s = index.n_slots
+    probe_cache = {}  # u -> (F_pad, u) device probe table
     u_max = min(_bucket16(f), index.f_pad - index.f_pad % CANDS_PER_STEP)
     u_max = max(u_max, CANDS_PER_STEP)
     if u0 is None:
-        u0 = int(0.05 * f)  # fine ranking reaches recall ~0.9 near 5-7%
+        u0 = int(0.08 * f)  # measured 1M starting point (recall ~0.8)
     u = int(np.clip(_bucket16(max(u0, CANDS_PER_STEP)), CANDS_PER_STEP,
                     u_max))
 
@@ -519,8 +533,12 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
         history = []
         while True:
             with prof.phase(f"ivf_pilot(u={u})"):
-                batches = _score_slots(index, u, ps_ids, k, interpret)
-                got_c = _pull_sample_rows(batches, ps_ids, index, cal_q, k)
+                with prof.phase(f"ivf_pilot_score(u={u})"):
+                    batches = _score_slots(index, u, ps_ids, k, interpret,
+                                           probe_cache)
+                with prof.phase(f"ivf_pilot_pull(u={u})"):
+                    got_c = _pull_sample_rows(batches, ps_ids, index,
+                                              cal_q, k)
             rec = _recall_against(index.order[got_c], truth_cal, k)
             history.append((u, rec))
             if rec >= min_recall or u >= u_max:
@@ -553,7 +571,8 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
     final_rec = -1.0
     while True:
         with prof.phase(f"ivf_search(u={u})", cells=n):
-            batches = _score_slots(index, u, np.arange(s), k, interpret)
+            batches = _score_slots(index, u, np.arange(s), k, interpret,
+                                   probe_cache)
             negd_flat = jnp.concatenate(
                 [negd[:cnt] for negd, _, cnt in batches]).reshape(-1, k)
             idx_flat = jnp.concatenate(

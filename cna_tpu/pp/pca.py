@@ -175,10 +175,14 @@ class LazyScores:
     def __init__(self, dev):
         self._dev = dev
         self._host = None
+        self._fp0 = None
 
     def _mat(self):
         if self._host is None:
             self._host = np.asarray(jax.device_get(self._dev))
+            # fingerprint at materialization: in-place mutation of the
+            # host copy afterwards must invalidate the device twin
+            self._fp0 = _rep_fingerprint(self._host)
         return self._host
 
     @property
@@ -233,19 +237,26 @@ def pca(data, n_comps=50, key_added="X_pca"):
 
     _prof = global_profiler()
     n_comps = min(n_comps, data.X.shape[1], data.X.shape[0])
-    with _prof.phase("pca_compute", cells=int(data.X.shape[0])):
+    n, g = data.X.shape
+    with _prof.phase("pca_compute", cells=int(n)):
         if sp.issparse(data.X):
             scores_dev, variance, components, total_var = _pca_sparse(
                 data.X, n_comps)
+        elif n * g >= _STREAM_MIN_ELEMS:
+            scores_dev, variance, components, total_var = \
+                _pca_dense_streamed(np.asarray(data.X), n_comps)
         else:
             x = jnp.asarray(data.X)
             scores_dev, variance, components, total_var = _pca_device(
                 x, n_comps)
         scores_dev.block_until_ready()
-    with _prof.phase("pca_d2h"):
-        scores = np.asarray(jax.device_get(scores_dev))
+    # the host copy is LAZY: the downstream graph build reads the device
+    # twin via device_rep, so the (N, n_comps) d2h (~10 s at 1M through
+    # the tunnel) only happens if something actually touches the host
+    # values (np.asarray / slicing / plotting)
+    scores = LazyScores(scores_dev)
     data.obsm[key_added] = scores
-    data.uns[_PCA_DEV_KEY] = (scores, scores_dev, _rep_fingerprint(scores))
+    data.uns[_PCA_DEV_KEY] = (scores, scores_dev, None)
     data.uns["pca"] = {
         "variance": variance,
         "variance_ratio": variance / total_var,
@@ -269,7 +280,15 @@ def device_rep(data, rep):
     """The device-array twin of ``rep`` if it is this ``pca``'s output
     (same object AND unchanged content), else ``rep`` itself."""
     cached = data.uns.get(_PCA_DEV_KEY)
-    if (cached is not None and cached[0] is rep
-            and cached[2] == _rep_fingerprint(rep)):
+    if cached is None or cached[0] is not rep:
+        return rep
+    if isinstance(rep, LazyScores):
+        if not rep.materialized:
+            # nothing could have mutated host values that never existed
+            return cached[1]
+        if _rep_fingerprint(np.asarray(rep)) == rep._fp0:
+            return cached[1]
+        return np.asarray(rep)
+    if cached[2] == _rep_fingerprint(rep):
         return cached[1]
     return rep

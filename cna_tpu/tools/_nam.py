@@ -202,7 +202,7 @@ def get_halo_plan(data, n_shards):
             np.asarray(conn.indices), np.asarray(conn.weights),
             np.asarray(conn.colsums_raw), n_shards)
     else:
-        from ..graph.reorder import permute_graph
+        from ..graph.reorder import permute_graph_unsorted
 
         obsm = getattr(data, "obsm", None) or {}
         if "X_pca" in obsm:
@@ -213,7 +213,10 @@ def get_halo_plan(data, n_shards):
             from ..graph.reorder import rcm_ordering
 
             ordering = rcm_ordering(conn)
-        plan = build_halo_plan_csr(permute_graph(conn, ordering), n_shards)
+        # unsorted permute: the plan builder walks edges in storage
+        # order, so the scipy column re-sort (~10 s at 1M) is skipped
+        plan = build_halo_plan_csr(permute_graph_unsorted(conn, ordering),
+                                   n_shards)
     if uns is not None:
         uns[key] = (conn, plan, ordering)
     return plan, ordering

@@ -23,9 +23,11 @@ def test_halo_plan_remap_consistency():
         np.asarray(g.indices), np.asarray(g.weights),
         np.asarray(g.colsums_raw), n_shards=4)
     d, nd = plan.colsums.shape
-    # every remapped index must be resolvable back to the original row
-    ext_rows = nd + d * plan.ghosts_per_pair
+    # every remapped index must be resolvable within the extended layout
+    # [own rows | one segment per exchanged ring offset]
+    ext_rows = nd + sum(int(s.shape[1]) for s in plan.send_rounds)
     assert int(plan.local_indices.max()) < ext_rows
+    assert all(1 <= r < d for r in plan.rounds)
 
 
 def test_halo_diffusion_matches_single_device():
