@@ -361,8 +361,28 @@ def _rank_blocks_centroid(cents, u):
 # ---------------------------------------------------------------------------
 
 
+def _index_replicas(index: FineIndex, devices):
+    """Per-device copies of the scoring operands (x4/counts/csum), built
+    once and cached on the index.  Slot scoring has no cross-slot
+    communication, so multi-device search is pure data parallelism over
+    batches — each device scores its share against a full replica
+    (536 MB at 1M cells: comfortably resident per chip)."""
+    cache = getattr(index, "_replicas", None)
+    key = tuple(id(d) for d in devices)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    reps = {
+        d: (jax.device_put(index.x4, d),
+            jax.device_put(index.blk_counts_dev, d),
+            jax.device_put(index.blk_csum_dev, d))
+        for d in devices
+    }
+    object.__setattr__(index, "_replicas", (key, reps))
+    return reps
+
+
 def _score_slots(index: FineIndex, u: int, slot_ids: np.ndarray, k: int,
-                 interpret: bool, probe_cache: dict):
+                 interpret: bool, probe_cache: dict, devices=None):
     """Score a set of query slots at probe count ``u``; returns a list
     of ((negd, idx) device handles, real slot count) batches.
 
@@ -389,17 +409,32 @@ def _score_slots(index: FineIndex, u: int, slot_ids: np.ndarray, k: int,
             table = table[::index.q_blocks][: index.n_slots]
         probe_cache[u] = table
     table = probe_cache[u]
+    reps = _index_replicas(index, devices) if devices else None
     out = []
     pad_slot = index.n_slots - 1
-    for lo in range(0, ns_real, batch):
+    for bi, lo in enumerate(range(0, ns_real, batch)):
         hi = min(lo + batch, ns_real)
         sel_b = np.full(batch, pad_slot, np.int64)
         sel_b[: hi - lo] = sel[lo:hi]
         sel_dev = jnp.asarray(sel_b.astype(np.int32))
+        probe_b = table[sel_dev]
+        if devices:
+            # round-robin data parallelism: batch bi runs on device
+            # bi % D; computation follows operand placement (no
+            # collectives — slot scoring is embarrassingly parallel)
+            dev = devices[bi % len(devices)]
+            x4_d, cnt_d, csum_d = reps[dev]
+            sel_dev = jax.device_put(sel_dev, dev)
+            probe_b = jax.device_put(probe_b, dev)
+        else:
+            x4_d, cnt_d, csum_d = (index.x4, index.blk_counts_dev,
+                                   index.blk_csum_dev)
         negd, idx = score_blocks_pallas(
-            index.x4, sel_dev, table[sel_dev], index.blk_counts_dev,
-            index.blk_csum_dev, k, g=index.g, q_blocks=index.q_blocks,
-            interpret=interpret)
+            x4_d, sel_dev, probe_b, cnt_d, csum_d, k, g=index.g,
+            q_blocks=index.q_blocks, interpret=interpret)
+        if devices:
+            negd = jax.device_put(negd, devices[0])
+            idx = jax.device_put(idx, devices[0])
         out.append((negd, idx, hi - lo))
     return out
 
@@ -445,13 +480,20 @@ def _pull_sample_rows(batches, sel_slots: np.ndarray, index: FineIndex,
     pos_of = np.searchsorted(sel_slots, slot_of)  # position in launch order
     got = np.empty((len(q_compact), k), np.int64)
     starts = np.cumsum([0] + [cnt for _, _, cnt in batches])
+    # gather row-sets are padded to power-of-two buckets: a
+    # data-dependent shape here compiled a FRESH tiny program per batch
+    # per run (~1.5 s each through the tunnel's remote AOT — measured
+    # 11.7 s of a 26 s warm 1M build before this)
     for bi, (_, idx_dev, cnt) in enumerate(batches):
         in_b = (pos_of >= starts[bi]) & (pos_of < starts[bi] + cnt)
         if not in_b.any():
             continue
         qi = np.flatnonzero(in_b)
         rows = (pos_of[qi] - starts[bi]) * mq + within[qi]
-        got[qi] = np.asarray(idx_dev.reshape(-1, k)[jnp.asarray(rows)])
+        rows_pad = np.zeros(_pow2_up(max(len(rows), 16)), np.int64)
+        rows_pad[: len(rows)] = rows
+        pulled = np.asarray(idx_dev.reshape(-1, k)[jnp.asarray(rows_pad)])
+        got[qi] = pulled[: len(rows)]
     return got
 
 
@@ -477,7 +519,8 @@ class FineSearchResult:
 def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
                  g=128, q_blocks=1, n_clusters=None, target_rows=96,
                  kmeans_sample=524_288, kmeans_iters=8, u0=None,
-                 interpret=None, profiler=None) -> FineSearchResult:
+                 interpret=None, devices=None,
+                 profiler=None) -> FineSearchResult:
     """Two-level IVF self-kNN; returns device results (module docstring).
 
     ``u0`` seeds the probe count (fine blocks); the pilot calibrates it
@@ -534,8 +577,9 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
         while True:
             with prof.phase(f"ivf_pilot(u={u})"):
                 with prof.phase(f"ivf_pilot_score(u={u})"):
-                    batches = _score_slots(index, u, ps_ids, k, interpret,
-                                           probe_cache)
+                    batches = _score_slots(index, u, ps_ids, k,
+                                           interpret, probe_cache,
+                                           devices=devices)
                 with prof.phase(f"ivf_pilot_pull(u={u})"):
                     got_c = _pull_sample_rows(batches, ps_ids, index,
                                               cal_q, k)
@@ -572,7 +616,7 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
     while True:
         with prof.phase(f"ivf_search(u={u})", cells=n):
             batches = _score_slots(index, u, np.arange(s), k, interpret,
-                                   probe_cache)
+                                   probe_cache, devices=devices)
             negd_flat = jnp.concatenate(
                 [negd[:cnt] for negd, _, cnt in batches]).reshape(-1, k)
             idx_flat = jnp.concatenate(

@@ -108,11 +108,39 @@ def spectral_init(conn, n_components=2, seed=0, tol=1e-4, maxiter=None):
     return (emb * expansion).astype(np.float32), mode
 
 
-@partial(jax.jit, static_argnames=("n_epochs", "negative_sample_rate"))
 def _optimize_layout(pos0, heads, tails, epochs_per_sample, key, a, b,
                      n_epochs, initial_alpha=1.0, negative_sample_rate=5):
-    """SGD over the UMAP objective, all edges vectorized per epoch."""
-    n = pos0.shape[0]
+    """SGD over the UMAP objective, macro-batched into epoch segments.
+
+    One ``fori_loop`` over ALL epochs is a single device dispatch whose
+    runtime grows with N*epochs — at atlas scale that is a multi-minute
+    program, exactly what reproducibly crashes the tunneled TPU worker
+    (CLAUDE.md).  Epochs are therefore dispatched in segments sized to a
+    few seconds each (identical numerics: the segment boundary only cuts
+    the loop, state threads through).  Segments queue asynchronously; no
+    host sync between them.
+    """
+    e = heads.shape[0]
+    # ~2e8 scatter/gather elements per segment ≈ seconds per dispatch
+    per_epoch = e * (2 + negative_sample_rate)
+    seg = int(np.clip(2e8 // max(per_epoch, 1), 1, n_epochs))
+    eps_edge = epochs_per_sample.astype(pos0.dtype)
+    state = (pos0, eps_edge, key)
+    for e0 in range(0, n_epochs, seg):
+        e1 = min(e0 + seg, n_epochs)
+        state = _optimize_segment(state, heads, tails, eps_edge, a, b,
+                                  n_epochs, e0, e1, initial_alpha,
+                                  negative_sample_rate)
+    return state[0]
+
+
+@partial(jax.jit, static_argnames=("n_epochs", "epoch0", "epoch1",
+                                   "negative_sample_rate"))
+def _optimize_segment(state, heads, tails, eps_edge, a, b, n_epochs,
+                      epoch0, epoch1, initial_alpha=1.0,
+                      negative_sample_rate=5):
+    """Epochs [epoch0, epoch1) of the UMAP SGD, all edges vectorized."""
+    n = state[0].shape[0]
     e = heads.shape[0]
     eps = 1e-3
     clip = lambda x: jnp.clip(x, -4.0, 4.0)
@@ -148,12 +176,10 @@ def _optimize_layout(pos0, heads, tails, epochs_per_sample, key, a, b,
         moven = jnp.where(active[:, None], moven, 0.0)
         pos = pos.at[heads].add(moven)
 
-        eons = jnp.where(active, eons + epochs_per_sample, eons)
+        eons = jnp.where(active, eons + eps_edge, eons)
         return (pos, eons, key)
 
-    state = (pos0, epochs_per_sample.astype(pos0.dtype), key)
-    pos, _, _ = jax.lax.fori_loop(0, n_epochs, epoch_body, state)
-    return pos
+    return jax.lax.fori_loop(epoch0, epoch1, epoch_body, state)
 
 
 def umap(data, n_components=2, n_epochs=None, min_dist=0.1, spread=1.0,
