@@ -69,7 +69,14 @@ def _build_graph(d):
 
     t0 = time.time()
     pp.pca(d, n_comps=20)
-    pp.neighbors(d, n_neighbors=15)
+    conn = pp.neighbors(d, n_neighbors=15)
+    if hasattr(conn, "ell"):
+        # force real completion of the async device graph build — the
+        # lazy obsp faces would otherwise defer work into association's
+        # timing (and axon block_until_ready does not block; CLAUDE.md)
+        import jax.numpy as jnp
+
+        float(jnp.sum(conn.ell.colsums_raw))
     return time.time() - t0
 
 

@@ -66,11 +66,17 @@ class HaloPlan:
         all-zero weights).
       hub_indices / hub_weights: (D, H, K2) — the heavy rows' overflow
         edges, same extended-layout index space.
-      send_rounds: tuple of (D, G_r) int32 — one entry per NON-EMPTY ring
-        offset; ``send_rounds[t][j]`` = rows (local to shard j) that the
-        consumer ``(j + rounds[t]) % D`` needs, padded to this OFFSET's
-        max-pair count (padding resends row 0, ignored downstream).
-      rounds: static tuple of the ring offsets actually exchanged.
+      send_rounds: tuple of (D, G_t) int32 — one entry per exchange
+        round; ``send_rounds[t][j]`` = rows (local to shard j) that the
+        consumer ``(j + offset_t) % D`` needs (padding resends row 0,
+        ignored downstream).
+      rounds: static tuple of (offset, participating-producers) pairs.
+        A ``ppermute`` moves bytes ONLY for listed pairs, so each offset
+        is split into size buckets: light pairs ride a small-G round,
+        the few heavy pairs a large-G round — total wire bytes track the
+        ragged ghost sum instead of D * max-pair (rounds a producer is
+        not listed in transmit nothing for it, whatever its send array
+        holds).
       colsums: (D, Nd) column-sum normalizer rows owned by each shard.
       n_cells: true cell count (before shard padding).
       n_ghosts: true (unpadded) ghost rows exchanged per step.
@@ -113,7 +119,10 @@ class HaloPlan:
         every remote row)."""
         d, nd = self.colsums.shape
         row = s_cols * itemsize
-        padded_rows = sum(int(s.shape[1]) for s in self.send_rounds) * d
+        # ppermute ships bytes only for LISTED producer->consumer pairs
+        padded_rows = sum(
+            int(s.shape[1]) * len(js)
+            for s, (_, js) in zip(self.send_rounds, self.rounds))
         return {
             "ghost_bytes": self.n_ghosts * row,
             "padded_bytes": padded_rows * row,
@@ -183,30 +192,53 @@ def build_halo_plan_csr(a, n_shards, colsums=None, pad_to=8,
     counts = np.bincount(pair, minlength=d * d).reshape(d, d)  # [cons, prod]
     seg_start = np.concatenate([[0], np.cumsum(counts.ravel())[:-1]])
 
-    # per-RING-OFFSET padding: round r ships pair (p -> (p+r)%d), padded
-    # to max over p only — not to the global max pair (module docstring)
+    # Rounds: per ring offset r, pair (p -> (p+r)%d) ships p's ghosts.
+    # ppermute moves bytes only for LISTED pairs, so each offset splits
+    # into up to two SIZE BUCKETS — light pairs padded to the light max,
+    # the few heavy pairs to the heavy max — bringing wire bytes close
+    # to the ragged ghost sum instead of d * global-max (the r3 design
+    # shipped 9.5x the ghost bytes at 16 shards; per-offset single
+    # rounds still shipped 3.4x on the 100k manifold).
     jj = np.arange(d)
-    g_r = np.zeros(d, dtype=np.int64)
+    rounds = []        # (offset, producers-tuple)
+    round_sizes = []   # padded G per round
+    bucket_of = np.zeros((d, d), dtype=np.int64)  # [offset, producer] -> t
     for r in range(1, d):
-        g_r[r] = counts[(jj + r) % d, jj].max() if d > 1 else 0
-    rounds = tuple(int(r) for r in range(1, d) if g_r[r] > 0)
-    g_pad = {r: _round_up(int(g_r[r]), pad_to) for r in rounds}
-    base_of_round = np.full(d, -1, dtype=np.int64)
-    off = nd
-    for r in rounds:
-        base_of_round[r] = off
-        off += g_pad[r]
+        c_r = counts[(jj + r) % d, jj] if d > 1 else np.zeros(1, np.int64)
+        live = np.flatnonzero(c_r > 0)
+        if len(live) == 0:
+            continue
+        hi = int(c_r[live].max())
+        lo_cap = _round_up(int(np.percentile(c_r[live], 66)), pad_to)
+        heavy = live[c_r[live] > lo_cap]
+        light = live[c_r[live] <= lo_cap]
+        split = (len(heavy) and len(light)
+                 and len(light) * (hi - lo_cap) > d * pad_to)
+        if split:
+            for js, cap in ((light, lo_cap),
+                            (heavy, _round_up(hi, pad_to))):
+                bucket_of[r, js] = len(rounds)
+                rounds.append((int(r), tuple(int(j) for j in js)))
+                round_sizes.append(cap)
+        else:
+            bucket_of[r, live] = len(rounds)
+            rounds.append((int(r), tuple(int(j) for j in live)))
+            round_sizes.append(_round_up(hi, pad_to))
+    rounds = tuple(rounds)
+    base_of_bucket = nd + np.concatenate(
+        [[0], np.cumsum(round_sizes)[:-1]]) if rounds else np.zeros(0)
 
-    send_rounds = tuple(np.zeros((d, g_pad[r]), dtype=np.int32)
-                        for r in rounds)
+    send_rounds = tuple(np.zeros((d, g), dtype=np.int32)
+                        for g in round_sizes)
     if n_ghosts:
         pos_in_seg = (np.arange(n_ghosts, dtype=np.int64)
                       - seg_start[pair])
         u_round = (ucons - uprod) % d
-        for t, r in enumerate(rounds):
-            in_r = u_round == r
-            send_rounds[t][uprod[in_r], pos_in_seg[in_r]] = (
-                ucol[in_r] - uprod[in_r] * nd).astype(np.int32)
+        u_bucket = bucket_of[u_round, uprod]
+        for t in range(len(rounds)):
+            in_t = u_bucket == t
+            send_rounds[t][uprod[in_t], pos_in_seg[in_t]] = (
+                ucol[in_t] - uprod[in_t] * nd).astype(np.int32)
 
     # --- remap every edge into the extended local layout ---
     ext_idx = np.empty(nnz, dtype=np.int64)
@@ -214,7 +246,7 @@ def build_halo_plan_csr(a, n_shards, colsums=None, pad_to=8,
     ext_idx[own] = cols[own] - cons[own] * nd
     if n_ghosts:
         gpos = np.searchsorted(uk, ck)  # exact: every ck is in uk
-        ext_idx[cross] = (base_of_round[u_round[gpos]]
+        ext_idx[cross] = (base_of_bucket[u_bucket[gpos]]
                           + (gpos - seg_start[pair[gpos]]))
 
     # --- main ELL pack (first k1 edges of each row) ---
@@ -320,9 +352,9 @@ def _halo_step_local(t_local, idx, w, hub_rows, hub_idx, hub_w,
     collectives the graph needs.
     """
     parts = [t_local]
-    for sidx, r in zip(send_rounds, rounds):
-        send = jnp.take(t_local, sidx[0], axis=0)  # (G_r, S)
-        perm = [(j, (j + r) % n_shards) for j in range(n_shards)]
+    for sidx, (r, js) in zip(send_rounds, rounds):
+        send = jnp.take(t_local, sidx[0], axis=0)  # (G_t, S)
+        perm = [(j, (j + r) % n_shards) for j in js]
         parts.append(jax.lax.ppermute(send, meshlib.CELLS, perm))
     ext = jnp.concatenate(parts, axis=0)
     gathered = jnp.take(ext, idx, axis=0)  # (Nd, K, S)

@@ -49,7 +49,13 @@ for run in ("cold", "warm"):
     try:
         pp.pca(d, n_comps=20)
         t1 = time.time()
-        pp.neighbors(d, n_neighbors=15)
+        conn = pp.neighbors(d, n_neighbors=15)
+        if hasattr(conn, "ell"):
+            # force real completion of the async device graph build
+            # (axon block_until_ready does not block; CLAUDE.md)
+            import jax.numpy as jnp
+
+            float(jnp.sum(conn.ell.colsums_raw))
         t2 = time.time()
         print(f"[{run}] pca {t1 - t0:.1f}s neighbors {t2 - t1:.1f}s "
               f"total {t2 - t0:.1f}s", flush=True)

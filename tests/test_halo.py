@@ -27,7 +27,7 @@ def test_halo_plan_remap_consistency():
     # [own rows | one segment per exchanged ring offset]
     ext_rows = nd + sum(int(s.shape[1]) for s in plan.send_rounds)
     assert int(plan.local_indices.max()) < ext_rows
-    assert all(1 <= r < d for r in plan.rounds)
+    assert all(1 <= r < d and len(js) for r, js in plan.rounds)
 
 
 def test_halo_diffusion_matches_single_device():
