@@ -194,6 +194,10 @@ def main():
     extras = {
         "graph_build_cold_s": round(graph_cold_s, 3),
         "graph_build_warm_s": round(graph_warm_s, 3),
+        # IVF recall provenance (atlas-scale graphs): chosen point on
+        # the measured recall-vs-probes curve, absent for exact kNN
+        **({"ivf": d2.uns["neighbors"]["ivf"]}
+           if "ivf" in d2.uns.get("neighbors", {}) else {}),
         "assoc_cold_s": round(cold_s, 3),
         "ref_median_s": round(ref_s, 3),
         "ref_times_s": [round(t, 3) for t in ref_times],

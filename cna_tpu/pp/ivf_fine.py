@@ -513,7 +513,8 @@ class FineSearchResult:
     order: np.ndarray      # (N,) original id of compact row r
     index: FineIndex
     u: int                 # final probe count (fine blocks)
-    recall: float          # measured on the held-out verify sample (-1 if unmeasured)
+    recall: float          # held-out verify-sample recall (-1 if unmeasured)
+    history: tuple = ()    # pilot (u, calibration-recall) points
 
 
 def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
@@ -555,6 +556,7 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
     # verification is independent of calibration (advisor r3) ----
     truth_cal = truth_ver = None
     pilot_stop = None
+    history = []
     if min_recall is not None and s >= 96:
         from .ivf import exact_knn_sample
 
@@ -573,7 +575,6 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
         cal_q, ver_q = q_compact[:half], q_compact[half:]
         truth_cal, truth_ver = true_idx[:half], true_idx[half:]
 
-        history = []
         while True:
             with prof.phase(f"ivf_pilot(u={u})"):
                 with prof.phase(f"ivf_pilot_score(u={u})"):
@@ -625,7 +626,7 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
                 negd_flat, idx_flat, jnp.asarray(index.layout_rows), n)
         if min_recall is None:
             return FineSearchResult(indices_dev, dists_dev, index.order,
-                                    index, u, -1.0)
+                                    index, u, -1.0, tuple(history))
         with prof.phase("ivf_recall_check"):
             if truth_ver is not None and len(truth_ver):
                 got = np.asarray(indices_dev[jnp.asarray(ver_q)])
@@ -644,7 +645,7 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
         final_rec = rec
         if rec >= min_recall:
             return FineSearchResult(indices_dev, dists_dev, index.order,
-                                    index, u, final_rec)
+                                    index, u, final_rec, tuple(history))
         plateaued = (prev_rec >= 0 and (rec - prev_rec) < 0.005) or \
             pilot_stop == "plateau"
         if u >= u_max or plateaued:
@@ -659,7 +660,7 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
                 f"{min_recall} and {reason}. Use method='pallas' (exact) "
                 "if this matters for your analysis.")
             return FineSearchResult(indices_dev, dists_dev, index.order,
-                                    index, u, final_rec)
+                                    index, u, final_rec, tuple(history))
         new_u = min(_bucket16(int(min(2 * u, u_max))), u_max)
         print(f"# pp.ivf: measured recall@{k} = {rec:.3f} < {min_recall}; "
               f"escalating u {u} -> {new_u}", file=sys.stderr)

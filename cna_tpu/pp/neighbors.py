@@ -261,17 +261,47 @@ def fuzzy_connectivities(indices, dists):
     return result
 
 
-def _neighbors_device(data, rep, n_neighbors, method):
-    """Atlas-scale graph build with ZERO (N, k)-sized host transfers.
+def _device_knn(rep, k, method):
+    """Device-resident kNN lists for the non-IVF methods (identity cell
+    order): the Pallas exact kernel or the blocked XLA search, with
+    results left ON device for the fuzzy/ELL stages."""
+    from .knn import _knn_query_block
 
-    The IVF search returns device-resident kNN lists in compact layout
-    order (``pp.ivf_fine``); the fuzzy union and the symmetric-ELL pack
-    (``graph.device.build_sym_ell``) consume them in place.  What lands
-    in ``obsp`` are lazy faces that materialize scipy matrices only if
-    something actually asks for them — ``tl.association`` never does
-    (it takes the packed graph + reordering straight from
-    ``DeviceConnectivities``).  Round-3 spent 12-18 s of the 1M graph
-    build pulling and re-assembling what this path never moves.
+    x = jnp.asarray(rep, dtype=jnp.float32)
+    n = x.shape[0]
+    if method == "pallas":
+        from ..ops.knn_pallas import knn_pallas
+
+        interpret = jax.devices()[0].platform != "tpu"
+        negd, idx = knn_pallas(x, k, interpret=interpret)
+        return idx, jnp.sqrt(jnp.maximum(-negd, 0.0))
+    key_block = 8192
+    nkb = -(-n // key_block)
+    pad = nkb * key_block - n
+    x_padded = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    sq = jnp.sum(x_padded * x_padded, axis=1)
+    outs = [
+        _knn_query_block(x[s:s + 4096], x_padded, sq, k, key_block, n,
+                         method=method)
+        for s in range(0, n, 4096)
+    ]
+    negd = jnp.concatenate([o[0] for o in outs])
+    idx = jnp.concatenate([o[1] for o in outs])
+    return idx, jnp.sqrt(jnp.maximum(-negd, 0.0))
+
+
+def _neighbors_device(data, rep, n_neighbors, method, resolved):
+    """Graph build with ZERO (N, k)-sized host transfers.
+
+    kNN lists stay on device (the IVF fine index in compact layout
+    order, or the exact/approx searches in identity order); the fuzzy
+    union and the symmetric-ELL pack (``graph.device.build_sym_ell``)
+    consume them in place.  What lands in ``obsp`` are lazy faces that
+    materialize scipy matrices only if something actually asks for
+    them — ``tl.association`` never does (it takes the packed graph +
+    reordering straight from ``DeviceConnectivities``).  Round-3 spent
+    12-18 s of the 1M graph build pulling and re-assembling what this
+    path never moves.
     """
     from ..graph.device import DeviceConnectivities, LazyDistances, \
         build_sym_ell
@@ -282,21 +312,25 @@ def _neighbors_device(data, rep, n_neighbors, method):
     _prof = global_profiler()
     n = data.n_obs
     with _prof.phase("knn", cells=n):
-        res = ivf_knn_device(rep, n_neighbors)
+        if resolved == "ivf":
+            res = ivf_knn_device(rep, n_neighbors)
+            idx_dev, d_dev, order = res.indices, res.dists, res.order
+        else:
+            idx_dev, d_dev = _device_knn(rep, n_neighbors, resolved)
+            order = np.arange(n, dtype=np.int32)
     with _prof.phase("fuzzy_graph", cells=n):
-        idx_dev, d_dev = res.indices, res.dists
         rho, sigma = smooth_knn_dist(
             d_dev, jnp.log2(jnp.asarray(float(n_neighbors))))
         w = membership_strengths(d_dev, rho, sigma, idx_dev)
         w_sym, code = fuzzy_union_device(idx_dev, w)
         ell = build_sym_ell(idx_dev, w_sym, code)
-        inv = np.empty(n, dtype=res.order.dtype)
-        inv[res.order] = np.arange(n, dtype=res.order.dtype)
-        ordering = Reordering(perm=res.order, inv=inv)
+        inv = np.empty(n, dtype=order.dtype)
+        inv[order] = np.arange(n, dtype=order.dtype)
+        ordering = Reordering(perm=order, inv=inv)
         conn = DeviceConnectivities(ell, ordering, n)
 
     data.obsp["connectivities"] = conn
-    data.obsp["distances"] = LazyDistances(idx_dev, d_dev, res.order)
+    data.obsp["distances"] = LazyDistances(idx_dev, d_dev, order)
     data.uns["neighbors"] = {
         "connectivities_key": "connectivities",
         "distances_key": "distances",
@@ -304,6 +338,15 @@ def _neighbors_device(data, rep, n_neighbors, method):
                    "knn_method": method,
                    "metric": "euclidean"},
     }
+    if resolved == "ivf":
+        # recall provenance for benchmarks/audits: the operating point
+        # is a CHOSEN spot on a measured recall-vs-probes curve
+        data.uns["neighbors"]["ivf"] = {
+            "u": res.u,
+            "coverage": res.u * res.index.g / max(n, 1),
+            "verify_recall": res.recall,
+            "pilot_curve": list(res.history),
+        }
     return conn
 
 
@@ -339,8 +382,12 @@ def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None,
         rep = rep[:, :n_pcs]
 
     resolved = resolve_method(data.n_obs, method)
-    if resolved == "ivf":
-        return _neighbors_device(data, rep, n_neighbors, method)
+    # the device-resident graph path serves every method on TPU (host
+    # transfers are the cost there) and the IVF path on any backend
+    # (tested end to end on CPU in interpret mode); the CPU golden path
+    # keeps the host CSR assembly it has always been validated on
+    if resolved == "ivf" or jax.devices()[0].platform == "tpu":
+        return _neighbors_device(data, rep, n_neighbors, method, resolved)
 
     from ..utils.profiling import global_profiler
 

@@ -211,6 +211,26 @@ class LazyScores:
     def __getitem__(self, key):
         return self._mat()[key]
 
+    def __iter__(self):
+        return iter(self._mat())
+
+
+def _delegate_op(name):
+    def op(self, *args):
+        args = tuple(np.asarray(a) if isinstance(a, LazyScores) else a
+                     for a in args)
+        return getattr(self._mat(), name)(*args)
+
+    op.__name__ = name
+    return op
+
+
+for _nm in ("__mul__", "__rmul__", "__add__", "__radd__", "__sub__",
+            "__rsub__", "__truediv__", "__rtruediv__", "__matmul__",
+            "__rmatmul__", "__neg__", "__pow__", "__eq__", "__ne__",
+            "__lt__", "__le__", "__gt__", "__ge__"):
+    setattr(LazyScores, _nm, _delegate_op(_nm))
+
 
 def pca_array(x, n_comps=50):
     """Return (scores (N, n_comps), explained variance, components)."""
