@@ -190,7 +190,10 @@ class DeviceConnectivities:
     and delegates thereafter.
     """
 
-    def __init__(self, ell: EllGraph, ordering: Reordering, n: int):
+    def __init__(self, ell: EllGraph, ordering, n: int):
+        """``ordering=None`` means the graph is already in the caller's
+        cell order (identity) — consumers skip the permutation machinery
+        entirely (``tl._nam`` then runs its plain non-reordered path)."""
         self.ell = ell
         self.ordering = ordering
         self._n = n
@@ -216,8 +219,9 @@ class DeviceConnectivities:
             jnp.asarray((w > 0).sum(), w.dtype),
             jnp.sum(self.ell.colsums_raw),
         ])
-        parts = [np.asarray(sums).tobytes(),
-                 np.ascontiguousarray(self.ordering.perm).tobytes(),
+        perm_bytes = (np.ascontiguousarray(self.ordering.perm).tobytes()
+                      if self.ordering is not None else b"identity")
+        parts = [np.asarray(sums).tobytes(), perm_bytes,
                  repr((self.shape, self.ell.max_degree,
                        self.ell.n_overflow)).encode()]
         return parts
@@ -229,7 +233,8 @@ class DeviceConnectivities:
             ell = self.ell
             idx = np.asarray(ell.indices)
             w = np.asarray(ell.weights)
-            perm = self.ordering.perm  # perm[compact] = original
+            perm = (self.ordering.perm if self.ordering is not None
+                    else np.arange(self._n))  # perm[compact] = original
             rows = np.broadcast_to(perm[:, None], idx.shape)
             cols = perm[idx]
             keep = w > 0

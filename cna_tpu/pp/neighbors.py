@@ -324,9 +324,12 @@ def _neighbors_device(data, rep, n_neighbors, method, resolved):
         w = membership_strengths(d_dev, rho, sigma, idx_dev)
         w_sym, code = fuzzy_union_device(idx_dev, w)
         ell = build_sym_ell(idx_dev, w_sym, code)
-        inv = np.empty(n, dtype=order.dtype)
-        inv[order] = np.arange(n, dtype=order.dtype)
-        ordering = Reordering(perm=order, inv=inv)
+        if resolved == "ivf":
+            inv = np.empty(n, dtype=order.dtype)
+            inv[order] = np.arange(n, dtype=order.dtype)
+            ordering = Reordering(perm=order, inv=inv)
+        else:
+            ordering = None  # identity: skip the permutation machinery
         conn = DeviceConnectivities(ell, ordering, n)
 
     data.obsp["connectivities"] = conn
