@@ -29,6 +29,7 @@ de-permutes.  See ``pp.ivf_fine`` for why that order exists.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -71,6 +72,69 @@ def _mirror_sort(idx, w_sym, code):
 
 
 _KX_CANDS = (8, 16, 32, 64, 128)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SortedExtGraph:
+    """Symmetric fuzzy graph as [uniform direct ELL] + [in-degree-
+    bucketed mirror columns], fully device-built.
+
+    The directed kNN part has bounded width k (fill ~85-90%), but the
+    MIRROR in-degree is heavily hub-skewed (q98 ~ 64 at 1M cells vs
+    mean ~4-5): one global mirror width either explodes gather traffic
+    (width-79 plain ELL ~ 4x the bucketed fetches) or the padded gather
+    buffer itself (the r4 northstar OOM'd on an (N, 79, 200) gather).
+    Mirror entries are LEFT-PACKED per row by construction, so rows can
+    be degree-sorted and sliced into per-width buckets with no row
+    compaction; per step the bucket outputs concatenate in sorted order
+    and one (N, S) row gather restores compact order.
+
+      direct_indices/weights: (N, k) — neighbor ids in COMPACT space.
+      ext_indices/weights: per-bucket (N_b, K_b), rows ascending by
+        mirror in-degree (ids in compact space).
+      inv_pi: (N,) — y_ext_compact = y_ext_sorted[inv_pi].
+      overflow_*: tiny COO spill for rows beyond the widest bucket.
+      colsums_raw: (N,) compact order.
+    """
+
+    direct_indices: jnp.ndarray
+    direct_weights: jnp.ndarray
+    ext_indices: tuple
+    ext_weights: tuple
+    inv_pi: jnp.ndarray
+    overflow_rows: jnp.ndarray
+    overflow_cols: jnp.ndarray
+    overflow_weights: jnp.ndarray
+    colsums_raw: jnp.ndarray
+
+    @property
+    def n_cells(self) -> int:
+        return self.direct_indices.shape[0]
+
+    @property
+    def n_rows(self) -> int:
+        return self.colsums_raw.shape[0]
+
+    @property
+    def max_degree(self) -> int:
+        return self.direct_indices.shape[1] + max(
+            (int(i.shape[1]) for i in self.ext_indices), default=0)
+
+    @property
+    def n_overflow(self) -> int:
+        return self.overflow_rows.shape[0]
+
+    @property
+    def dtype(self):
+        return self.direct_weights.dtype
+
+    def colsums(self, self_weight: float = 1.0):
+        return self.colsums_raw + self_weight
+
+    def padded_area(self) -> int:
+        return (int(np.prod(self.direct_indices.shape))
+                + sum(int(np.prod(i.shape)) for i in self.ext_indices))
 
 
 @jax.jit
@@ -118,16 +182,21 @@ def _spill_colsums(rows, weights, n):
 
 
 def build_sym_ell(idx_dev, w_sym, code, dtype=None,
-                  max_spill_frac=0.02) -> EllGraph:
-    """Hybrid-ELL ``EllGraph`` of the symmetric fuzzy union, on device.
+                  max_spill_frac=0.02, ell_max_kx=16):
+    """Symmetric fuzzy-union graph, built on device.
 
     idx_dev: (N, k) int32 kNN lists (self first) — row coordinates and
         neighbor values in the SAME coordinate system.
     w_sym / code: the aligned symmetric weights and emission codes from
         ``fuzzy_union_device`` (bit 0: row owns the entry; bit 1: row
         must also mirror it to the partner).
-    The mirror-column width is the smallest of ``_KX_CANDS`` that leaves
-    <= ``max_spill_frac`` of mirror edges to the COO overflow.
+
+    Returns an ``EllGraph`` (direct + mirror columns concatenated) when
+    a narrow mirror width (<= ``ell_max_kx``, spill <= ``max_spill_frac``
+    of mirror edges) suffices, else a ``SortedExtGraph`` whose mirror
+    columns are in-degree-bucketed (hub-skewed graphs: one global width
+    either multiplies gather traffic ~4x or OOMs the gather buffer —
+    see the class docstring).
     """
     n, k = idx_dev.shape
     tgt_s, src_s, w_s, m_dev, direct_w, direct_sums = _mirror_sort(
@@ -151,17 +220,23 @@ def build_sym_ell(idx_dev, w_sym, code, dtype=None,
     pos, spills_dev = _runpos_and_spill(tgt_s, n)
     spills = np.asarray(spills_dev)
     kx = _KX_CANDS[-1]
+    spill = int(spills[-1])
     for cand, sp_count in zip(_KX_CANDS, spills):
         if sp_count <= max_spill_frac * m:
             kx = cand
             spill = int(sp_count)
             break
-    else:
-        spill = int(spills[-1])
+    ell_shaped = kx <= ell_max_kx
+    if not ell_shaped:
+        # bucketed path: wide columns are near-free, so push the spill
+        # (a per-diffusion-step scatter) to ~zero instead
+        for cand, sp_count in zip(_KX_CANDS, spills):
+            if sp_count <= max(1024, 1e-4 * m):
+                kx = cand
+                spill = int(sp_count)
+                break
 
     ext_i, ext_w, ext_sums = _scatter_ext(tgt_s, src_s, w_s, pos, n, kx)
-    indices = jnp.concatenate([idx_dev, ext_i], axis=1)
-    weights = jnp.concatenate([direct_w, ext_w], axis=1).astype(dtype)
     colsums = (direct_sums + ext_sums).astype(dtype)
 
     if spill:
@@ -175,8 +250,34 @@ def build_sym_ell(idx_dev, w_sym, code, dtype=None,
         overflow = (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32),
                     jnp.zeros((0,), dtype))
 
-    return EllGraph(
-        indices=indices, weights=weights,
+    if ell_shaped:
+        return EllGraph(
+            indices=jnp.concatenate([idx_dev, ext_i], axis=1),
+            weights=jnp.concatenate([direct_w, ext_w],
+                                    axis=1).astype(dtype),
+            overflow_rows=overflow[0], overflow_cols=overflow[1],
+            overflow_weights=overflow[2], colsums_raw=colsums)
+
+    # --- in-degree-bucketed mirror columns ---
+    from .buckets import plan_buckets
+
+    indeg = np.asarray(jnp.sum((ext_w > 0).astype(jnp.int32), axis=1))
+    pi = np.argsort(indeg, kind="stable").astype(np.int32)
+    plan = plan_buckets(indeg[pi], max_buckets=4, pad_to=8)
+    pi_dev = jnp.asarray(pi)
+    ext_i_s = ext_i[pi_dev]
+    ext_w_s = ext_w[pi_dev].astype(dtype)
+    buckets_i, buckets_w = [], []
+    for start, end, width in plan:
+        width = min(int(width), kx)
+        buckets_i.append(ext_i_s[start:end, :width])
+        buckets_w.append(ext_w_s[start:end, :width])
+    inv_pi = np.empty(n, np.int32)
+    inv_pi[pi] = np.arange(n, dtype=np.int32)
+    return SortedExtGraph(
+        direct_indices=idx_dev, direct_weights=direct_w.astype(dtype),
+        ext_indices=tuple(buckets_i), ext_weights=tuple(buckets_w),
+        inv_pi=jnp.asarray(inv_pi),
         overflow_rows=overflow[0], overflow_cols=overflow[1],
         overflow_weights=overflow[2], colsums_raw=colsums)
 
@@ -211,9 +312,14 @@ class DeviceConnectivities:
         """Cheap device-side content summary for checkpoint
         fingerprinting — avoids materializing/pulling the (N, K) arrays
         (documented as a summary, not a cryptographic content hash)."""
-        w = self.ell.weights
-        i = self.ell.indices.astype(jnp.float64 if w.dtype == jnp.float64
-                                    else jnp.float32)
+        if isinstance(self.ell, SortedExtGraph):
+            w = self.ell.direct_weights
+            i = self.ell.direct_indices
+        else:
+            w = self.ell.weights
+            i = self.ell.indices
+        i = i.astype(jnp.float64 if w.dtype == jnp.float64
+                     else jnp.float32)
         sums = jnp.stack([
             jnp.sum(w), jnp.sum(w * w), jnp.sum(i * w),
             jnp.asarray((w > 0).sum(), w.dtype),
@@ -231,22 +337,44 @@ class DeviceConnectivities:
             import scipy.sparse as sp
 
             ell = self.ell
-            idx = np.asarray(ell.indices)
-            w = np.asarray(ell.weights)
             perm = (self.ordering.perm if self.ordering is not None
                     else np.arange(self._n))  # perm[compact] = original
-            rows = np.broadcast_to(perm[:, None], idx.shape)
-            cols = perm[idx]
-            keep = w > 0
-            r, c, v = rows[keep], cols[keep], w[keep]
+            parts = []  # (rows_compact, cols_compact, vals)
+            if isinstance(ell, SortedExtGraph):
+                idx = np.asarray(ell.direct_indices)
+                w = np.asarray(ell.direct_weights)
+                rows = np.broadcast_to(
+                    np.arange(self._n)[:, None], idx.shape)
+                keep = w > 0
+                parts.append((rows[keep], idx[keep], w[keep]))
+                inv_pi = np.asarray(ell.inv_pi)
+                pi = np.empty_like(inv_pi)
+                pi[inv_pi] = np.arange(self._n, dtype=inv_pi.dtype)
+                start = 0
+                for bi, bw in zip(ell.ext_indices, ell.ext_weights):
+                    bi, bw = np.asarray(bi), np.asarray(bw)
+                    if bi.size:
+                        rr = np.broadcast_to(
+                            pi[start:start + bi.shape[0], None], bi.shape)
+                        keep = bw > 0
+                        parts.append((rr[keep], bi[keep], bw[keep]))
+                    start += bi.shape[0]
+            else:
+                idx = np.asarray(ell.indices)
+                w = np.asarray(ell.weights)
+                rows = np.broadcast_to(
+                    np.arange(self._n)[:, None], idx.shape)
+                keep = w > 0
+                parts.append((rows[keep], idx[keep], w[keep]))
             if ell.n_overflow:
-                orows = perm[np.asarray(ell.overflow_rows)]
-                ocols = perm[np.asarray(ell.overflow_cols)]
+                orows = np.asarray(ell.overflow_rows)
+                ocols = np.asarray(ell.overflow_cols)
                 ow = np.asarray(ell.overflow_weights)
                 okeep = ow > 0
-                r = np.concatenate([r, orows[okeep]])
-                c = np.concatenate([c, ocols[okeep]])
-                v = np.concatenate([v, ow[okeep]])
+                parts.append((orows[okeep], ocols[okeep], ow[okeep]))
+            r = perm[np.concatenate([p[0] for p in parts])]
+            c = perm[np.concatenate([p[1] for p in parts])]
+            v = np.concatenate([p[2] for p in parts])
             csr = sp.csr_matrix((v, (r, c)), shape=self.shape)
             csr.sum_duplicates()
             self._csr = csr

@@ -115,6 +115,32 @@ def bucket_spmm(graph, x):
     return jnp.concatenate(outs, axis=0)
 
 
+def sorted_ext_spmm(graph, x):
+    """SpMM of a ``graph.device.SortedExtGraph``: uniform direct ELL +
+    in-degree-bucketed mirror columns + tiny COO spill.
+
+    The bucket outputs are produced in mirror-degree-sorted row order
+    and restored to compact order with ONE (N, S) row gather — no
+    scatter anywhere on the hot path (the spill COO is capped at ~1e-4
+    of the mirror edges at build time)."""
+    y = ell_spmm(graph.direct_indices, graph.direct_weights, x,
+                 block_rows=_auto_block(*graph.direct_indices.shape,
+                                        x.shape[1]))
+    outs = []
+    for idx, w in zip(graph.ext_indices, graph.ext_weights):
+        nb, kb = idx.shape
+        if kb == 0 or nb == 0:
+            outs.append(jnp.zeros((nb, x.shape[1]), x.dtype))
+        else:
+            outs.append(ell_spmm(idx, w, x,
+                                 block_rows=_auto_block(nb, kb,
+                                                        x.shape[1])))
+    if outs:
+        y = y + jnp.concatenate(outs, axis=0)[graph.inv_pi]
+    return coo_spmm_add(y, graph.overflow_rows, graph.overflow_cols,
+                        graph.overflow_weights, x)
+
+
 def block_spmm(graph, x, pair_chunk: int = 2048):
     """Block-dense SpMM: ``y = A @ x`` from (P, B, B) dense tiles.
 
@@ -174,9 +200,12 @@ def diffusion_step(s, graph, colsums, self_weight, block_rows=None):
     """
     from ..graph.blocks import BlockGraph, HybridGraph
     from ..graph.buckets import BucketEllGraph
+    from ..graph.device import SortedExtGraph
     from .spmm_pallas import BandedGraph, banded_spmm
 
     t = s / colsums[:, None]
+    if isinstance(graph, SortedExtGraph):
+        return sorted_ext_spmm(graph, t) + self_weight * t
     if isinstance(graph, BucketEllGraph):
         return bucket_spmm(graph, t) + self_weight * t
     if isinstance(graph, BandedGraph):

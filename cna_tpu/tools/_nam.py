@@ -349,7 +349,7 @@ def diffuse_stepwise(data, s, maxnsteps=15, show_progress=False, self_weight=1):
     if isinstance(s, pd.DataFrame):
         labels = (s.index, s.columns)
         s = s.to_numpy()
-    s = jnp.asarray(s, dtype=graph.weights.dtype)
+    s = jnp.asarray(s, dtype=graph.dtype)
     # a device graph may live in a permuted (compact) cell order: step in
     # that order, yield every step in the caller's order
     perm = inv = None

@@ -61,6 +61,47 @@ def test_sym_ell_matches_host_csr():
     assert ell.max_degree > idx.shape[1]
 
 
+def test_sorted_ext_graph_parity_and_diffusion():
+    """The in-degree-bucketed mirror representation (SortedExtGraph,
+    forced via ell_max_kx=0) must materialize the identical CSR and
+    diffuse identically to the plain symmetric ELL."""
+    import jax.numpy as jnp
+
+    from cna_tpu.graph.device import SortedExtGraph
+    from cna_tpu.ops import spmm
+
+    x = _hubby_points(2400, seed=7)
+    n, k = len(x), 12
+    idx, dists = knn_search(x, k, method="exact")
+    idx_dev = jnp.asarray(idx)
+    d_dev = jnp.asarray(dists.astype(np.float32))
+    rho, sigma = smooth_knn_dist(d_dev, jnp.log2(jnp.asarray(float(k))))
+    w = membership_strengths(d_dev, rho, sigma, idx_dev)
+    w_sym, code = fuzzy_union_device(idx_dev, w)
+    g_ell = build_sym_ell(idx_dev, w_sym, code)
+    g_srt = build_sym_ell(idx_dev, w_sym, code, ell_max_kx=0)
+    assert isinstance(g_srt, SortedExtGraph), type(g_srt)
+    assert len(g_srt.ext_indices) >= 2  # bucketing actually engaged
+
+    perm = np.arange(n)
+    ref = DeviceConnectivities(
+        g_ell, Reordering(perm=perm, inv=perm.copy()), n).tocsr()
+    got = DeviceConnectivities(
+        g_srt, Reordering(perm=perm, inv=perm.copy()), n).tocsr()
+    assert abs(got - ref).max() < 1e-7
+    np.testing.assert_allclose(np.asarray(g_srt.colsums_raw),
+                               np.asarray(g_ell.colsums_raw), rtol=1e-5,
+                               atol=1e-6)
+
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.standard_normal((n, 5)), dtype=g_ell.dtype)
+    y_ell = np.asarray(spmm.diffusion_step(s, g_ell,
+                                           g_ell.colsums(1.0), 1.0))
+    y_srt = np.asarray(spmm.diffusion_step(s, g_srt,
+                                           g_srt.colsums(1.0), 1.0))
+    np.testing.assert_allclose(y_srt, y_ell, rtol=1e-5, atol=1e-6)
+
+
 def test_device_graph_permuted_coordinates():
     """With a nontrivial cell ordering the materialized CSR must land in
     ORIGINAL coordinates (perm[compact] = original)."""
