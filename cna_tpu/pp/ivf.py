@@ -6,25 +6,26 @@ index.  CPU stacks use graph-based NN-descent (pynndescent, what scanpy
 runs); that algorithm is pointer-chasing and maps poorly onto the MXU.
 IVF-flat is the TPU-shaped alternative (the structure GPU FAISS uses):
 
-1. **k-means** over (a subsample of) the points — Lloyd iterations are
-   assignment matmuls + segment-sum updates, all on device;
-2. cells are sorted by cluster id, so every cluster is a **contiguous
-   row range**; clusters are cut into fixed-size **slots** of <= M rows
-   (a cluster larger than M spans several slots — nothing is dropped);
-3. each slot scores its members against the members of the slots of its
-   ``nprobe`` nearest clusters, through one of two scoring paths over
-   the SAME index structure:
-   * on TPU, the Pallas kernel in ``ops.ivf_pallas`` — the (M, M)
-     distance tile never leaves VMEM and the running top-k is merged
-     there with packed-id extraction passes (exact within the probed
-     set); fixed M=512 slot geometry, clusters ~n/384;
-   * elsewhere, an XLA ``lax.map`` over contiguous dynamic slices with
-     ``jax.lax.approx_max_k`` per probe (~0.99 recall within the
-     probed set) and an exact merge; data-adaptive M, clusters ~n/1024.
+Two implementations share the idea:
 
-Total compute ~ N * nprobe * M * D MACs — linear in N for fixed cluster
-geometry.  Overall recall ~= probe coverage, which the pilot below
-calibrates against a measured exact-truth sample per dataset.
+* **TPU (and ``pallas_interpret=True``)** — the two-level fine-block
+  index in ``cna_tpu.pp.ivf_fine``: k-means clusters of ~96 rows packed
+  into 128-row blocks, per-block own-centroid probe tables, the Pallas
+  scorer in ``ops.ivf_pallas`` (VMEM-resident packed-id top-k, 16
+  candidate blocks per grid step), results device-resident in compact
+  layout order.  This module's ``ivf_knn`` wraps it with the host
+  (indices, distances) contract; ``ivf_knn_device`` exposes the
+  device-resident result that ``pp.neighbors`` consumes.
+* **XLA (CPU and any non-TPU backend)** — this module's single-level
+  slot structure: cells sorted by cluster id, clusters cut into <= M
+  row slots, each slot scored against its ``nprobe`` nearest clusters
+  with ``jax.lax.approx_max_k`` per probe (~0.99 recall within the
+  probed set) and an exact merge; clusters ~n/1024.
+
+Total compute ~ N * coverage * N * D MACs — linear in N for fixed
+cluster geometry.  Overall recall ~= probe coverage, which a pilot
+calibrates against a measured exact-truth sample per dataset (with a
+held-out verification half in both implementations).
 """
 
 from __future__ import annotations
