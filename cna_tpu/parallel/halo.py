@@ -172,10 +172,15 @@ def build_halo_plan_csr(a, n_shards, colsums=None, pad_to=8,
         k1 = _round_up(max(maxdeg, 1), pad_to)  # hub split not worth it
 
     nnz = a.nnz
-    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
-    cols = a.indices.astype(np.int64)
+    # int32 edge arrays: these (nnz,)-sized passes are the plan-build
+    # cost at 1M cells on this throttled host — halving the bytes
+    # roughly halves them (n and d*nd both fit comfortably)
+    etype = np.int32 if d * nd < (1 << 31) else np.int64
+    rows = np.repeat(np.arange(n, dtype=etype), deg)
+    cols = a.indices.astype(etype, copy=False)
     vals = a.data
-    pos = np.arange(nnz, dtype=np.int64) - np.repeat(a.indptr[:-1], deg)
+    pos = (np.arange(nnz, dtype=etype)
+           - np.repeat(a.indptr[:-1].astype(etype), deg))
 
     cons = rows // nd
     prod = cols // nd
