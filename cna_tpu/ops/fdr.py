@@ -130,7 +130,11 @@ def _tails_from_buckets(c, n_bins):
 
 
 def _bucketize(values, t0, dt, n_bins, atol, rtol):
-    x2 = (values.astype(jnp.float64) ** 2)
+    # widest AVAILABLE float: under x64-off the f64 request was silently
+    # truncated to f32 anyway — asking explicitly avoids the per-call
+    # truncation warning that polluted the 1M bench logs
+    wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    x2 = (values.astype(wide) ** 2)
     v = jnp.sqrt((x2 + atol) / (1.0 - rtol))
     return jnp.clip(jnp.floor((v - t0) / dt) + 1.0, 0, n_bins).astype(
         jnp.int32)
