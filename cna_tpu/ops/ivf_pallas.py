@@ -1,13 +1,15 @@
 """Pallas TPU kernel: IVF fine-block scoring at MXU speed.
 
-The XLA formulation of IVF scoring (``pp.ivf._score_slots``) computes a
-per-(slot, probe) squared-distance tile and reduces it with
+A naive XLA formulation of IVF scoring (the round-3 slot engine)
+computes a per-(slot, probe) squared-distance tile and reduces it with
 ``jax.lax.approx_max_k`` + a final ``lax.top_k`` merge.  Measured on one
 v5e at the 1M-cell north-star shapes: the distance matmuls with a fused
 max cost 1.1 s for the whole search, while the same loop with
 ``approx_max_k`` costs 87 s and the full pipeline 152 s — the top-k ops
 force every distance tile through an HBM round-trip (~3 TB) because TPU
-matmuls only fuse trivial elementwise epilogues.
+matmuls only fuse trivial elementwise epilogues.  (That engine is gone;
+``score_blocks_xla`` below is the non-TPU scorer for THIS kernel's
+fine-block contract.)
 
 This kernel keeps the distance tile in VMEM and merges the per-query
 running top-k in VMEM scratch with k argmax-extract-mask passes (Mosaic
@@ -257,3 +259,57 @@ def score_blocks_pallas(x4, sel_ids, probe_ids, blk_counts, blk_csum, k,
         interpret=interpret,
     )(sel_ids, probe_ids, blk_counts, blk_csum, *([x4] * (1 + cb)))
     return outd[:, :, :k], outi[:, :, :k]
+
+
+@partial(jax.jit, static_argnames=("k", "g", "q_blocks", "cb"))
+def score_blocks_xla(x4, sel_ids, probe_ids, blk_counts, blk_csum, k,
+                     g=128, q_blocks=1, cb=CANDS_PER_STEP):
+    """Plain-XLA twin of ``score_blocks_pallas`` — identical contract.
+
+    The non-TPU scoring backend for the SAME fine-block index (one index
+    structure, probe selection, pilot and recall machinery everywhere;
+    only the inner scorer differs by platform).  Mirrors the kernel's
+    structure: a scan over ``cb``-block candidate steps, each step one
+    (mq, cb*g) distance tile reduced with an exact running ``top_k``
+    merge; neighbor ids are emitted in compact coordinates via
+    ``blk_csum`` exactly as the kernel does.  Distances here keep full
+    f32 precision (no packed-id mantissa quantization).
+    """
+    ns, p = probe_ids.shape
+    if p % cb:
+        raise ValueError(f"probe list width must be a multiple of {cb}")
+    mq = q_blocks * g
+    d_pad = x4.shape[2]
+    w = cb * g
+    within = jnp.arange(w, dtype=jnp.int32) % g
+    blk_of = jnp.arange(w, dtype=jnp.int32) // g
+
+    def one_slot(args):
+        sel, pid = args
+        q = jax.lax.dynamic_slice_in_dim(
+            x4, sel * q_blocks, q_blocks, axis=0).reshape(mq, d_pad)
+        qn = jnp.sum(q * q, axis=1, keepdims=True)
+
+        def step(carry, j):
+            bd, bi = carry
+            ids = jax.lax.dynamic_slice_in_dim(pid, j * cb, cb)
+            cand = x4[ids].reshape(w, d_pad)
+            cn = jnp.sum(cand * cand, axis=1)
+            negd = 2.0 * (q @ cand.T) - qn - cn[None, :]
+            live = within < blk_counts[ids][blk_of]
+            negd = jnp.where(live[None, :], negd, -jnp.inf)
+            comp = blk_csum[ids][blk_of] + within  # compact ids (w,)
+            cat_d = jnp.concatenate([bd, negd], axis=1)
+            cat_i = jnp.concatenate(
+                [bi, jnp.broadcast_to(comp[None, :], (mq, w))], axis=1)
+            td, tp = jax.lax.top_k(cat_d, k)
+            ti = jnp.take_along_axis(cat_i, tp, axis=1)
+            return (td, ti), None
+
+        init = (jnp.full((mq, k), -jnp.inf, jnp.float32),
+                jnp.zeros((mq, k), jnp.int32))
+        (bd, bi), _ = jax.lax.scan(step, init, jnp.arange(p // cb))
+        return bd, bi
+
+    return jax.lax.map(one_slot, (sel_ids, probe_ids),
+                       batch_size=min(8, max(ns, 1)))

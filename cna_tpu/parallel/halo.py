@@ -29,10 +29,19 @@ ordering before building) — on expander-like graphs it degenerates
 towards an all-gather — never worse in bytes than the dense exchange by
 more than the padding factor.
 
-Hub rows (UMAP-union degree reaches ~20x the mean) would force the local
-ELL width to the max degree; instead the pack splits at a degree
-percentile: the bulk of rows in a narrow main ELL, the few heavy rows'
-excess edges in a small per-shard hub ELL applied by scatter-add.
+The local SpMM is **degree-bucketed**, matching the single-device
+default (``graph.buckets``, measured 2.7x/step over plain ELL on skewed
+UMAP-union graphs): rows are degree-sorted within each shard and packed
+into a few contiguous ELL buckets, each padded only to its own max
+degree — so gather traffic tracks nnz instead of rows x max-degree, and
+hub rows (UMAP-union degree reaches ~20x the mean) land in a tiny wide
+bucket instead of forcing the whole shard wide.  Bucket boundaries are
+chosen once on the max-over-shards sorted-degree profile (the same DP
+as ``graph.buckets.plan_buckets``), so every shard shares one static
+bucket geometry — the shard_map body stays SPMD.  Per-bucket outputs
+are concatenated in degree-sorted order and mapped back to the true row
+order by one per-shard gather (its traffic is one state-width row per
+cell — K-fold smaller than the gather it saves).
 """
 
 from __future__ import annotations

@@ -54,7 +54,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.ivf_pallas import CANDS_PER_STEP, score_blocks_pallas
+from ..ops.ivf_pallas import (CANDS_PER_STEP, score_blocks_pallas,
+                              score_blocks_xla)
 
 _DUMMY_CENTROID = 1e15  # squared distance ~1e30 stays finite in f32
 
@@ -382,7 +383,8 @@ def _index_replicas(index: FineIndex, devices):
 
 
 def _score_slots(index: FineIndex, u: int, slot_ids: np.ndarray, k: int,
-                 interpret: bool, probe_cache: dict, devices=None):
+                 interpret: bool, probe_cache: dict, devices=None,
+                 scorer: str = "pallas"):
     """Score a set of query slots at probe count ``u``; returns a list
     of ((negd, idx) device handles, real slot count) batches.
 
@@ -429,9 +431,14 @@ def _score_slots(index: FineIndex, u: int, slot_ids: np.ndarray, k: int,
         else:
             x4_d, cnt_d, csum_d = (index.x4, index.blk_counts_dev,
                                    index.blk_csum_dev)
-        negd, idx = score_blocks_pallas(
-            x4_d, sel_dev, probe_b, cnt_d, csum_d, k, g=index.g,
-            q_blocks=index.q_blocks, interpret=interpret)
+        if scorer == "xla":
+            negd, idx = score_blocks_xla(
+                x4_d, sel_dev, probe_b, cnt_d, csum_d, k, g=index.g,
+                q_blocks=index.q_blocks)
+        else:
+            negd, idx = score_blocks_pallas(
+                x4_d, sel_dev, probe_b, cnt_d, csum_d, k, g=index.g,
+                q_blocks=index.q_blocks, interpret=interpret)
         if devices:
             negd = jax.device_put(negd, devices[0])
             idx = jax.device_put(idx, devices[0])
@@ -535,8 +542,16 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
     # through the tunnel); hosts arrays ship once as f32
     x_dev = jnp.asarray(points, dtype=jnp.float32)
     n, d = x_dev.shape
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
+    # scorer resolution: the Mosaic kernel on TPU, its plain-XLA twin
+    # elsewhere (same index / probe tables / pilot; scoring only).
+    # ``interpret=True`` forces the Pallas kernel through the
+    # interpreter — the kernel-verification path, not a fast CPU mode.
+    if interpret:
+        scorer = "pallas"
+    elif jax.devices()[0].platform == "tpu":
+        scorer, interpret = "pallas", False
+    else:
+        scorer, interpret = "xla", False
     index = build_fine_index(
         x_dev, n, d, seed=seed, g=g, q_blocks=q_blocks,
         n_clusters=n_clusters, target_rows=target_rows,
@@ -580,7 +595,7 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
                 with prof.phase(f"ivf_pilot_score(u={u})"):
                     batches = _score_slots(index, u, ps_ids, k,
                                            interpret, probe_cache,
-                                           devices=devices)
+                                           devices=devices, scorer=scorer)
                 with prof.phase(f"ivf_pilot_pull(u={u})"):
                     got_c = _pull_sample_rows(batches, ps_ids, index,
                                               cal_q, k)
@@ -617,7 +632,8 @@ def ivf_knn_fine(points, k, seed=0, min_recall=0.9, recall_sample=512,
     while True:
         with prof.phase(f"ivf_search(u={u})", cells=n):
             batches = _score_slots(index, u, np.arange(s), k, interpret,
-                                   probe_cache, devices=devices)
+                                   probe_cache, devices=devices,
+                                   scorer=scorer)
             negd_flat = jnp.concatenate(
                 [negd[:cnt] for negd, _, cnt in batches]).reshape(-1, k)
             idx_flat = jnp.concatenate(

@@ -222,7 +222,7 @@ def test_degraded_recall_association_fidelity():
 
     pp.pca(d_dg, n_comps=20)
     rep = d_dg.obsm["X_pca"]
-    idx, dists = ivf_knn(np.asarray(rep, np.float32), 15, nprobe=6,
+    idx, dists = ivf_knn(np.asarray(rep, np.float32), 15, u0=1, g=64,
                          min_recall=None, seed=0)
     rec = measured_recall(np.asarray(rep, np.float32), idx, 15, seed=3)
     assert rec < 0.92, f"degradation did not engage (recall {rec})"

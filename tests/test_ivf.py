@@ -28,11 +28,11 @@ def test_ivf_recall_manifold():
 
 
 def test_ivf_recall_escalation():
-    """Starting from a hopeless nprobe=1, the measured-recall loop must
-    escalate until the returned neighbors actually meet the floor."""
+    """Starting from a hopeless probe count, the measured-recall loop
+    must escalate until the returned neighbors actually meet the floor."""
     n, k = 12_000, 10
     x = _manifold_points(n, seed=3)
-    idx, _ = ivf_knn(x, k, nprobe=1, min_recall=0.95, seed=0)
+    idx, _ = ivf_knn(x, k, u0=1, min_recall=0.95, seed=0)
     ei, _ = knn_search(x, k, method="exact")
     recall = np.mean([len(set(idx[i]) & set(ei[i])) / k
                       for i in range(0, n, 11)])
@@ -76,13 +76,13 @@ def test_ivf_association_fidelity(capsys):
 
 
 def test_ivf_pilot_calibration(capsys):
-    """With many slots, nprobe is calibrated on a slot-subsample pilot
-    (one full search) instead of repeated full-search doublings; the
-    result must still meet the recall floor starting from a hopeless
-    nprobe."""
+    """With many slots, the probe count is calibrated on a slot-subsample
+    pilot (one full search) instead of repeated full-search doublings;
+    the result must still meet the recall floor starting from a hopeless
+    probe count."""
     n, k = 20_000, 10
     x = _manifold_points(n, seed=5)
-    idx, _ = ivf_knn(x, k, n_clusters=256, nprobe=2, min_recall=0.9,
+    idx, _ = ivf_knn(x, k, n_clusters=256, u0=1, min_recall=0.9,
                      seed=0)
     err = capsys.readouterr().err
     assert "pp.ivf pilot" in err, err  # the pilot actually engaged
@@ -101,9 +101,10 @@ def test_ivf_handles_unbalanced_clusters():
     ]).astype(np.float32)
     # probe everything: recall must be ~perfect regardless of balance —
     # this is the correctness check that clusters spanning multiple
-    # slots are fully covered (a dense isotropic blob has no exploitable
+    # blocks are fully covered (a dense isotropic blob has no exploitable
     # structure, so PARTIAL probing legitimately tracks probe mass)
-    idx, dist = ivf_knn(x, 8, n_clusters=16, nprobe=16, seed=0)
+    idx, dist = ivf_knn(x, 8, n_clusters=16, u0=10**5, min_recall=None,
+                        seed=0)
     assert idx.shape == (5600, 8)
     ei, _ = knn_search(x, 8, method="exact")
     recall = np.mean([len(set(idx[i]) & set(ei[i])) / 8
@@ -112,9 +113,9 @@ def test_ivf_handles_unbalanced_clusters():
 
 
 def test_ivf_pallas_path_interpret():
-    """The TPU scoring path (fixed slot geometry + ops.ivf_pallas) run
-    through the Pallas interpreter must produce a high-recall index and
-    honor the knn_search contract, matching the XLA path's behavior."""
+    """The TPU scoring kernel (ops.ivf_pallas) run through the Pallas
+    interpreter must produce a high-recall index and honor the
+    knn_search contract, matching the XLA scorer's behavior."""
     from cna_tpu.pp.ivf import ivf_knn, measured_recall
 
     rng = np.random.RandomState(3)
@@ -122,8 +123,7 @@ def test_ivf_pallas_path_interpret():
     x = np.concatenate([c + rng.randn(150, 8) for c in centers]).astype(
         np.float32)
     n = len(x)
-    idx, dists = ivf_knn(x, 10, seed=0, use_pallas=True,
-                         pallas_interpret=True, slot_rows=64,
+    idx, dists = ivf_knn(x, 10, seed=0, pallas_interpret=True, g=64,
                          n_clusters=32, min_recall=0.9)
     rec = measured_recall(x, idx, 10, seed=5)
     assert rec > 0.9, rec
