@@ -33,27 +33,21 @@ import numpy as np
 from .reorder import Reordering
 
 
-def partition_ordering(conn, embedding, n_shards, cluster_cells=64,
-                       max_clusters=4096, kmeans_iters=8,
-                       kmeans_sample=262_144, seed=0) -> Reordering:
-    """Locality ordering whose ``n_shards`` equal blocks have a small
-    graph boundary.
-
-    ``conn``: (N, N) scipy sparse graph; ``embedding``: (N, d) host
-    array (e.g. PCA scores) used only to seed the k-means clusters.
-    """
+def embedding_clusters(embedding, n_clusters, kmeans_iters=8,
+                       kmeans_sample=262_144, seed=0) -> np.ndarray:
+    """Per-row k-means cluster id of ``embedding`` (device matmul Lloyd;
+    the clustering half of ``partition_ordering``).  D-independent —
+    compute once and pass as ``cid=`` when partitioning the same dataset
+    at several shard counts (the assembly half is seconds; this half is
+    the k-means)."""
     import jax.numpy as jnp
-    import scipy.sparse as sp
 
     from ..pp.ivf_fine import _assign_chunked, _kmeans_fit_matmul, _pow2_up
 
-    conn = sp.csr_matrix(conn)
-    n = conn.shape[0]
-    nc = int(np.clip(n // cluster_cells, n_shards, max_clusters))
-    nc = min(nc, n)
-
+    nc = int(n_clusters)
     rng = np.random.RandomState(seed)
     x = jnp.asarray(np.asarray(embedding), dtype=jnp.float32)
+    n = x.shape[0]
     n_fit = min(n, kmeans_sample)
     fit_x = x
     if n_fit < n:
@@ -72,8 +66,38 @@ def partition_ordering(conn, embedding, n_shards, cluster_cells=64,
     cent = _kmeans_fit_matmul(fit_x, valid, init, nc, kmeans_iters, chunk)
     n_pad_all = ((n + chunk - 1) // chunk) * chunk
     x_all = jnp.pad(x, ((0, n_pad_all - n), (0, 0))) if n_pad_all > n else x
-    cid = np.asarray(_assign_chunked(x_all, cent, chunk))[:n].astype(
+    return np.asarray(_assign_chunked(x_all, cent, chunk))[:n].astype(
         np.int64)
+
+
+def partition_clusters(n, n_shards, cluster_cells=64, max_clusters=4096):
+    """The cluster count ``partition_ordering`` uses for ``n`` cells."""
+    return int(min(np.clip(n // cluster_cells, n_shards, max_clusters), n))
+
+
+def partition_ordering(conn, embedding, n_shards, cluster_cells=64,
+                       max_clusters=4096, kmeans_iters=8,
+                       kmeans_sample=262_144, seed=0,
+                       cid=None) -> Reordering:
+    """Locality ordering whose ``n_shards`` equal blocks have a small
+    graph boundary.
+
+    ``conn``: (N, N) scipy sparse graph; ``embedding``: (N, d) host
+    array (e.g. PCA scores) used only to seed the k-means clusters.
+    ``cid``: optional precomputed ``embedding_clusters`` result (reuse
+    across shard counts).
+    """
+    import scipy.sparse as sp
+
+    conn = sp.csr_matrix(conn)
+    n = conn.shape[0]
+    if cid is None:
+        nc = partition_clusters(n, n_shards, cluster_cells, max_clusters)
+        cid = embedding_clusters(embedding, nc, kmeans_iters,
+                                 kmeans_sample, seed)
+    else:
+        cid = np.asarray(cid, dtype=np.int64)
+        nc = int(cid.max()) + 1
 
     # cluster-level edge weights (symmetrized)
     coo = conn.tocoo()

@@ -61,24 +61,29 @@ from . import mesh as meshlib
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class HaloPlan:
-    """Per-shard exchange plan + locally-remapped graph.
+    """Per-shard exchange plan + locally-remapped degree-bucketed graph.
 
-    Shapes (D = shards, Nd = rows per shard, K = main ELL width, H = hub
-    rows per shard, K2 = hub ELL width, G = padded per-pair ghost count):
+    Shapes (D = shards, Nd = rows per shard, N_b/K_b = rows and width of
+    degree bucket b with sum_b N_b = Nd, G = padded per-pair ghost count):
 
-      local_indices: (D, Nd, K) int32 — ELL neighbor ids remapped into the
-        extended local layout [0, Nd + D*G): own rows first, then ghosts
-        grouped by source shard.
-      local_weights: (D, Nd, K).
-      hub_rows: (D, H) int32 — shard-local row ids of heavy rows whose
-        edges beyond K continue in the hub ELL (padding slots: row 0 with
-        all-zero weights).
-      hub_indices / hub_weights: (D, H, K2) — the heavy rows' overflow
-        edges, same extended-layout index space.
+      bucket_indices: tuple of (D, N_b, K_b) int32 — ELL neighbor ids of
+        the rows in degree bucket b, remapped into the extended local
+        layout [0, Nd + sum G): own rows first, then ghosts grouped by
+        exchange round.  Rows are degree-sorted within each shard;
+        bucket b covers sorted positions [start_b, end_b) on EVERY
+        shard (one static geometry, SPMD-compatible), padded only to
+        that bucket's max degree.
+      bucket_weights: matching (D, N_b, K_b) edge weights (0 = padding).
+      row_pos: (D, Nd) int32 — degree-sorted position of each true
+        shard-local row; the step's final per-shard gather maps the
+        concatenated per-bucket outputs back to true row order.
+      out_permuted: static; False when the sort is the identity (uniform
+        degrees) and the final gather is skipped.
       send_rounds: tuple of (D, G_t) int32 — one entry per exchange
         round; ``send_rounds[t][j]`` = rows (local to shard j) that the
         consumer ``(j + offset_t) % D`` needs (padding resends row 0,
-        ignored downstream).
+        ignored downstream).  Row ids are TRUE local rows (the layout
+        ``s`` is in), not sorted positions.
       rounds: static tuple of (offset, participating-producers) pairs.
         A ``ppermute`` moves bytes ONLY for listed pairs, so each offset
         is split into size buckets: light pairs ride a small-G round,
@@ -91,25 +96,36 @@ class HaloPlan:
       n_ghosts: true (unpadded) ghost rows exchanged per step.
     """
 
-    local_indices: jnp.ndarray
-    local_weights: jnp.ndarray
-    hub_rows: jnp.ndarray
-    hub_indices: jnp.ndarray
-    hub_weights: jnp.ndarray
+    bucket_indices: tuple
+    bucket_weights: tuple
+    row_pos: jnp.ndarray
     send_rounds: tuple
     colsums: jnp.ndarray
     n_cells: int = dataclasses.field(metadata=dict(static=True))
     n_ghosts: int = dataclasses.field(default=0, metadata=dict(static=True))
     rounds: tuple = dataclasses.field(default=(),
                                       metadata=dict(static=True))
+    out_permuted: bool = dataclasses.field(default=True,
+                                           metadata=dict(static=True))
 
     @property
     def n_shards(self) -> int:
-        return self.local_indices.shape[0]
+        return self.colsums.shape[0]
 
     @property
     def shard_rows(self) -> int:
-        return self.local_indices.shape[1]
+        return self.colsums.shape[1]
+
+    @property
+    def dtype(self):
+        return self.bucket_weights[0].dtype
+
+    def padded_area(self) -> int:
+        """Per-shard gather fetches per SpMM step (rows x bucket width,
+        summed over buckets) — the traffic the degree bucketing bounds
+        near nnz/D instead of Nd x max-degree."""
+        return sum(int(i.shape[1]) * int(i.shape[2])
+                   for i in self.bucket_indices)
 
     def ghost_fraction(self) -> float:
         """True (unpadded) ghost rows exchanged per step, as a fraction of
@@ -146,7 +162,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def build_halo_plan_csr(a, n_shards, colsums=None, pad_to=8,
-                        width_percentile=99.5, dtype=None) -> HaloPlan:
+                        max_buckets=6, dtype=None) -> HaloPlan:
     """Build the exchange plan from a scipy sparse matrix.
 
     ``a``: (N, N) sparse graph, rows = consumers (``a.dot(s)`` semantics,
@@ -174,12 +190,6 @@ def build_halo_plan_csr(a, n_shards, colsums=None, pad_to=8,
     n_pad = nd * d
 
     deg = np.diff(a.indptr)
-    maxdeg = int(deg.max()) if n else 0
-    k1 = int(np.percentile(deg, width_percentile)) if n else 0
-    k1 = _round_up(max(k1, 1), pad_to)
-    if _round_up(maxdeg, pad_to) <= 2 * k1:
-        k1 = _round_up(max(maxdeg, 1), pad_to)  # hub split not worth it
-
     nnz = a.nnz
     # int32 edge arrays: these (nnz,)-sized passes are the plan-build
     # cost at 1M cells on this throttled host — halving the bytes
@@ -263,51 +273,63 @@ def build_halo_plan_csr(a, n_shards, colsums=None, pad_to=8,
         ext_idx[cross] = (base_of_bucket[u_bucket[gpos]]
                           + (gpos - seg_start[pair[gpos]]))
 
-    # --- main ELL pack (first k1 edges of each row) ---
-    main = pos < k1
-    li = np.zeros((n_pad, k1), dtype=np.int32)
-    lw = np.zeros((n_pad, k1), dtype=dtype)
-    li[rows[main], pos[main]] = ext_idx[main]
-    lw[rows[main], pos[main]] = vals[main].astype(dtype)
+    # --- degree-bucketed local pack (module docstring): rows sorted by
+    # degree within each shard; one static bucket geometry chosen by the
+    # same DP as the single-device format (graph.buckets.plan_buckets)
+    # on the max-over-shards sorted-degree profile ---
+    from ..graph.buckets import plan_buckets
 
-    # --- hub ELL: heavy rows' overflow edges, scatter-added per shard ---
-    hub_global = np.flatnonzero(deg > k1)
-    if len(hub_global):
-        k2 = _round_up(int((deg[hub_global] - k1).max()), pad_to)
-        shard_of_hub = hub_global // nd
-        h_counts = np.bincount(shard_of_hub, minlength=d)
-        h = _round_up(max(int(h_counts.max()), 1), pad_to)
-        shard_seg = np.concatenate([[0], np.cumsum(h_counts)[:-1]])
-        rank = np.arange(len(hub_global)) - shard_seg[shard_of_hub]
-        hub_rows = np.zeros((d, h), dtype=np.int32)
-        hub_rows[shard_of_hub, rank] = (hub_global % nd).astype(np.int32)
-        rank_of = np.zeros(n, dtype=np.int64)
-        rank_of[hub_global] = rank
-        hubm = pos >= k1
-        hi = np.zeros((d, h, k2), dtype=np.int32)
-        hw = np.zeros((d, h, k2), dtype=dtype)
-        er = rows[hubm]
-        hi[er // nd, rank_of[er], pos[hubm] - k1] = ext_idx[hubm]
-        hw[er // nd, rank_of[er], pos[hubm] - k1] = vals[hubm].astype(dtype)
-    else:
-        hub_rows = np.zeros((d, 0), dtype=np.int32)
-        hi = np.zeros((d, 0, 0), dtype=np.int32)
-        hw = np.zeros((d, 0, 0), dtype=dtype)
+    deg_pad = np.zeros(n_pad, dtype=np.int64)
+    deg_pad[:n] = deg
+    deg_sh = deg_pad.reshape(d, nd)
+    order_in_shard = np.argsort(deg_sh, axis=1, kind="stable")  # (d, nd)
+    sorted_deg = np.take_along_axis(deg_sh, order_in_shard, axis=1)
+    # columnwise max of ascending rows is ascending — a valid DP profile
+    profile = sorted_deg.max(axis=0)
+    bplan = plan_buckets(profile, max_buckets=max_buckets, pad_to=pad_to)
+    row_pos = np.empty((d, nd), dtype=np.int32)
+    np.put_along_axis(row_pos, order_in_shard,
+                      np.broadcast_to(np.arange(nd, dtype=np.int32),
+                                      (d, nd)), axis=1)
+    out_permuted = bool(
+        (order_in_shard != np.arange(nd, dtype=order_in_shard.dtype)).any())
+
+    # per edge: sorted position of its row, then its bucket; ONE flat
+    # scatter for all buckets (per-bucket boolean masks cost ~6 extra
+    # nnz-sized passes at 1M on this throttled host)
+    pos_sorted = row_pos.reshape(-1)[rows].astype(np.int64)
+    s0_arr = np.asarray([s0 for s0, _, _ in bplan], dtype=np.int64)
+    nb_arr = np.asarray([e0 - s0 for s0, e0, _ in bplan], dtype=np.int64)
+    wb_arr = np.asarray([wb for *_, wb in bplan], dtype=np.int64)
+    be = np.searchsorted(s0_arr, pos_sorted, side="right") - 1
+    area = d * nb_arr * wb_arr
+    base = np.concatenate([[0], np.cumsum(area)[:-1]])
+    dest = (base[be]
+            + ((rows // nd) * nb_arr[be] + (pos_sorted - s0_arr[be]))
+            * wb_arr[be] + pos)
+    li_flat = np.zeros(int(area.sum()), dtype=np.int32)
+    lw_flat = np.zeros(int(area.sum()), dtype=dtype)
+    li_flat[dest] = ext_idx
+    lw_flat[dest] = vals.astype(dtype)
+    b_idx, b_w = [], []
+    for b, (s0, e0, wb) in enumerate(bplan):
+        sl = slice(int(base[b]), int(base[b] + area[b]))
+        b_idx.append(jnp.asarray(li_flat[sl].reshape(d, e0 - s0, wb)))
+        b_w.append(jnp.asarray(lw_flat[sl].reshape(d, e0 - s0, wb)))
 
     colsums_pad = np.ones(n_pad, dtype=dtype)
     colsums_pad[:n] = colsums.astype(dtype)
 
     return HaloPlan(
-        local_indices=jnp.asarray(li.reshape(d, nd, k1)),
-        local_weights=jnp.asarray(lw.reshape(d, nd, k1)),
-        hub_rows=jnp.asarray(hub_rows),
-        hub_indices=jnp.asarray(hi),
-        hub_weights=jnp.asarray(hw),
+        bucket_indices=tuple(b_idx),
+        bucket_weights=tuple(b_w),
+        row_pos=jnp.asarray(row_pos),
         send_rounds=tuple(jnp.asarray(s) for s in send_rounds),
         colsums=jnp.asarray(colsums_pad.reshape(d, nd)),
         n_cells=n,
         n_ghosts=n_ghosts,
         rounds=rounds,
+        out_permuted=out_permuted,
     )
 
 
@@ -344,26 +366,30 @@ def place_plan(plan: HaloPlan, mesh) -> HaloPlan:
     rows = NamedSharding(mesh, P(meshlib.CELLS))
     return dataclasses.replace(
         plan,
-        local_indices=jax.device_put(plan.local_indices, rows),
-        local_weights=jax.device_put(plan.local_weights, rows),
-        hub_rows=jax.device_put(plan.hub_rows, rows),
-        hub_indices=jax.device_put(plan.hub_indices, rows),
-        hub_weights=jax.device_put(plan.hub_weights, rows),
+        bucket_indices=tuple(jax.device_put(i, rows)
+                             for i in plan.bucket_indices),
+        bucket_weights=tuple(jax.device_put(w, rows)
+                             for w in plan.bucket_weights),
+        row_pos=jax.device_put(plan.row_pos, rows),
         send_rounds=tuple(jax.device_put(s, rows)
                           for s in plan.send_rounds),
         colsums=jax.device_put(plan.colsums, rows),
     )
 
 
-def _halo_step_local(t_local, idx, w, hub_rows, hub_idx, hub_w,
-                     send_rounds, rounds, n_shards):
-    """Per-shard body: multi-round ring exchange, SpMM on [own ‖ ghosts].
+def _halo_step_local(t_local, b_idx, b_w, row_pos, send_rounds, rounds,
+                     n_shards, out_permuted):
+    """Per-shard body: multi-round ring exchange, bucketed SpMM on
+    [own ‖ ghosts].
 
     Round r: this shard sends its (1, G_r) listed rows to the consumer r
     positions ahead via ``ppermute``; the receive lands at the static
     extended-layout offset the plan remapped edges to.  Empty offsets
     were dropped at plan build, so the program contains exactly the
-    collectives the graph needs.
+    collectives the graph needs.  The SpMM runs one gather+einsum per
+    degree bucket (padding tracks nnz, not max degree); the concatenated
+    degree-sorted outputs are mapped back to true row order by a single
+    gather when the sort is not the identity.
     """
     parts = [t_local]
     for sidx, (r, js) in zip(send_rounds, rounds):
@@ -371,15 +397,16 @@ def _halo_step_local(t_local, idx, w, hub_rows, hub_idx, hub_w,
         perm = [(j, (j + r) % n_shards) for j in js]
         parts.append(jax.lax.ppermute(send, meshlib.CELLS, perm))
     ext = jnp.concatenate(parts, axis=0)
-    gathered = jnp.take(ext, idx, axis=0)  # (Nd, K, S)
-    out = jnp.einsum("nk,nks->ns", w, gathered,
-                     preferred_element_type=t_local.dtype)
-    if hub_idx.shape[2] > 0:
-        # heavy rows' overflow edges: (1, H, K2) blocks
-        hg = jnp.take(ext, hub_idx[0], axis=0)  # (H, K2, S)
-        contrib = jnp.einsum("hk,hks->hs", hub_w[0], hg,
-                             preferred_element_type=t_local.dtype)
-        out = out.at[hub_rows[0]].add(contrib)
+    outs = [
+        jnp.einsum("nk,nks->ns", w[0], jnp.take(ext, i[0], axis=0),
+                   preferred_element_type=t_local.dtype)
+        for i, w in zip(b_idx, b_w)
+    ]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    if out_permuted:
+        # sorted position p holds the result of true row order[p]; true
+        # row r's result therefore sits at position row_pos[r]
+        out = jnp.take(out, row_pos[0], axis=0)
     return out
 
 
@@ -392,23 +419,23 @@ def halo_diffusion_step(s, plan: HaloPlan, mesh, self_weight=1.0):
     ``ops.spmm.diffusion_step`` exactly on the true rows.
     """
     d, nd = plan.colsums.shape
-    s_dim = s.shape[1]
     colsums_flat = plan.colsums.reshape(-1) + self_weight
     t = s / colsums_flat[:, None]
 
     step = shard_map(
-        partial(_halo_step_local, rounds=plan.rounds, n_shards=d),
+        partial(_halo_step_local, rounds=plan.rounds, n_shards=d,
+                out_permuted=plan.out_permuted),
         mesh=mesh,
-        in_specs=(P(meshlib.CELLS), P(meshlib.CELLS), P(meshlib.CELLS),
-                  P(meshlib.CELLS), P(meshlib.CELLS), P(meshlib.CELLS),
+        in_specs=(P(meshlib.CELLS),
+                  tuple(P(meshlib.CELLS) for _ in plan.bucket_indices),
+                  tuple(P(meshlib.CELLS) for _ in plan.bucket_weights),
+                  P(meshlib.CELLS),
                   # send lists shard over the PRODUCER axis (axis 0):
                   # shard j holds what it sends at every ring offset
                   tuple(P(meshlib.CELLS) for _ in plan.send_rounds)),
         out_specs=P(meshlib.CELLS),
         check_vma=False,
     )
-    idx_flat = plan.local_indices.reshape(d * nd, -1)
-    w_flat = plan.local_weights.reshape(d * nd, -1)
-    out = step(t, idx_flat, w_flat, plan.hub_rows, plan.hub_indices,
-               plan.hub_weights, plan.send_rounds)
+    out = step(t, plan.bucket_indices, plan.bucket_weights, plan.row_pos,
+               plan.send_rounds)
     return out + self_weight * t

@@ -471,7 +471,7 @@ def _nam(data, sid_name, sids=None, nsteps=None, maxnsteps=15, self_weight=1,
             if plan is not None:
                 from ..parallel.halo import place_plan
 
-                dtype = plan.local_weights.dtype
+                dtype = plan.dtype
                 n_pad = plan.n_shards * plan.shard_rows
                 codes_h = (codes[halo_order.perm] if halo_order is not None
                            else codes)

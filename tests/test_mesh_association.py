@@ -117,8 +117,8 @@ def test_halo_plan_ghosts_small_on_manifold():
 
 
 def test_halo_plan_hub_split():
-    """Rows heavier than the ELL width percentile must flow through the
-    hub arrays, not widen the main ELL to the max degree."""
+    """Hub rows must land in a small wide degree bucket, not widen the
+    whole shard's ELL to the max degree."""
     import scipy.sparse as sp
 
     from cna_tpu.parallel.halo import build_halo_plan_csr
@@ -135,9 +135,13 @@ def test_halo_plan_hub_split():
         (np.full(n, 0.5), (np.zeros(n, int), np.arange(n))), shape=(n, n))
     a = (a + hub + hub.T).tocsr()
 
-    plan = build_halo_plan_csr(a, 4, width_percentile=90.0)
-    assert plan.hub_indices.shape[2] > 0  # hub split engaged
-    assert plan.local_indices.shape[2] < n  # main ELL stayed narrow
+    plan = build_halo_plan_csr(a, 4)
+    widths = [i.shape[2] for i in plan.bucket_indices]
+    assert len(widths) >= 2          # degree bucketing engaged
+    assert min(widths) < n // 4      # the bulk bucket stayed narrow
+    assert max(widths) >= n // 2     # the hub rows got a wide bucket
+    # padded gather area ~ nnz, far under rows x max-degree
+    assert plan.padded_area() < plan.shard_rows * 4 * max(widths)
 
     g = from_scipy(a, width_percentile=100.0)
     s = rng.standard_normal((n, 5))
