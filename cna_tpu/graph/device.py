@@ -267,13 +267,33 @@ def build_sym_ell(idx_dev, w_sym, code, dtype=None,
     pi_dev = jnp.asarray(pi)
     ext_i_s = ext_i[pi_dev]
     ext_w_s = ext_w[pi_dev].astype(dtype)
+    # SHAPE-STABLE bucket slices: the raw (start, end, width) plan is
+    # data-dependent, and every distinct slice shape compiles a fresh
+    # program for the slice AND for each downstream per-bucket SpMM —
+    # measured ~0.5 s per slice compile plus multi-second diffusion
+    # recompiles through the tunnel on EVERY new dataset (the r4 bench's
+    # "warm" graph/assoc regressions).  Row counts round up to the
+    # quarter-octave bucket (slices anchored so the padded range still
+    # covers the bucket's rows — overlap rows are computed twice and the
+    # inv_pi gather picks the canonical copy) and widths round up to the
+    # _KX_CANDS grid (extra columns are zero-weight for these rows).
     buckets_i, buckets_w = [], []
+    concat_pos = np.empty(n, np.int64)
+    cum = 0
     for start, end, width in plan:
         width = min(int(width), kx)
-        buckets_i.append(ext_i_s[start:end, :width])
-        buckets_w.append(ext_w_s[start:end, :width])
-    inv_pi = np.empty(n, np.int32)
-    inv_pi[pi] = np.arange(n, dtype=np.int32)
+        width = next(c for c in _KX_CANDS if c >= width)
+        nb_pad = min(_bucket_up(end - start), n)
+        start_eff = max(0, min(start, n - nb_pad))
+        buckets_i.append(
+            ext_i_s[start_eff:start_eff + nb_pad, :width])
+        buckets_w.append(
+            ext_w_s[start_eff:start_eff + nb_pad, :width])
+        concat_pos[start:end] = cum + (np.arange(start, end) - start_eff)
+        cum += nb_pad
+    inv_pi = np.empty(n, np.int64)
+    inv_pi[pi] = concat_pos
+    inv_pi = inv_pi.astype(np.int32)
     return SortedExtGraph(
         direct_indices=idx_dev, direct_weights=direct_w.astype(dtype),
         ext_indices=tuple(buckets_i), ext_weights=tuple(buckets_w),
@@ -347,16 +367,20 @@ class DeviceConnectivities:
                     np.arange(self._n)[:, None], idx.shape)
                 keep = w > 0
                 parts.append((rows[keep], idx[keep], w[keep]))
+                # concat positions may exceed n (shape-stable bucket
+                # padding duplicates overlap rows); -1 marks positions
+                # whose row is canonical elsewhere — their copies drop
                 inv_pi = np.asarray(ell.inv_pi)
-                pi = np.empty_like(inv_pi)
-                pi[inv_pi] = np.arange(self._n, dtype=inv_pi.dtype)
+                total = sum(int(b.shape[0]) for b in ell.ext_indices)
+                pi = np.full(total, -1, dtype=np.int64)
+                pi[inv_pi] = np.arange(self._n)
                 start = 0
                 for bi, bw in zip(ell.ext_indices, ell.ext_weights):
                     bi, bw = np.asarray(bi), np.asarray(bw)
                     if bi.size:
                         rr = np.broadcast_to(
                             pi[start:start + bi.shape[0], None], bi.shape)
-                        keep = bw > 0
+                        keep = (bw > 0) & (rr >= 0)
                         parts.append((rr[keep], bi[keep], bw[keep]))
                     start += bi.shape[0]
             else:

@@ -339,6 +339,7 @@ def _neighbors_device(data, rep, n_neighbors, method, resolved):
         "distances_key": "distances",
         "params": {"n_neighbors": n_neighbors, "method": "umap",
                    "knn_method": method,
+                   "knn_method_resolved": resolved,
                    "metric": "euclidean"},
     }
     if resolved == "ivf":
@@ -423,6 +424,7 @@ def neighbors(data, n_neighbors=15, n_pcs=None, use_rep=None, key_added=None,
         "distances_key": "distances",
         "params": {"n_neighbors": n_neighbors, "method": "umap",
                    "knn_method": method,
+                   "knn_method_resolved": resolved,
                    "metric": "euclidean"},
     }
     return conn
