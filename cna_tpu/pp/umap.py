@@ -108,6 +108,50 @@ def spectral_init(conn, n_components=2, seed=0, tol=1e-4, maxiter=None):
     return (emb * expansion).astype(np.float32), mode
 
 
+def _segment_structure(heads, tails, n):
+    """Static accumulation structure for the scatter-free SGD epoch.
+
+    TPU scatters cost ~0.9 s per 1e7 elements (CLAUDE.md); the three
+    per-epoch (E, 2) scatter-adds dominated the 500k layout at
+    3.1 s/epoch (UMAP_PROFILE r4).  The per-row sums are instead
+    computed with the sort-into-segments trick proven in
+    ``graph.device``: edges are stored HEAD-SORTED; the (static)
+    argsort of [heads ‖ tails] turns both endpoint updates into one
+    segment-sum over a cumulative sum — an (N+1,)-bounds gather of the
+    running cumsum, a subtract, and a DENSE (N, 2) add.  Zero scatters.
+
+    Returns host arrays:
+      h_sort: (E,) permutation sorting edges by head (applied once to
+        the edge arrays at build).
+      both_src: (2E,) edge index feeding the combined attract pass
+        (entries >= E mean "tail end: negate move").
+      both_bounds: (N+1,) segment bounds of the combined sorted keys.
+      head_bounds: (N+1,) segment bounds of the (sorted) heads — reused
+        by the negative-sampling accumulation.
+    """
+    h_sort = np.argsort(heads, kind="stable")
+    heads_s = heads[h_sort]
+    tails_s = tails[h_sort]
+    e = len(heads_s)
+    keys = np.concatenate([heads_s, tails_s])
+    ord_ = np.argsort(keys, kind="stable")
+    keys_sorted = keys[ord_]
+    rows = np.arange(n + 1)
+    both_bounds = np.searchsorted(keys_sorted, rows).astype(np.int32)
+    head_bounds = np.searchsorted(heads_s, rows).astype(np.int32)
+    return (h_sort.astype(np.int32), ord_.astype(np.int32),
+            both_bounds, head_bounds, e)
+
+
+def _segment_delta(move_sorted, bounds):
+    """Per-row sums of ``move_sorted`` (segment-sorted (M, 2)) via
+    cumulative sum + boundary differences: returns (N, 2)."""
+    c0 = jnp.concatenate(
+        [jnp.zeros((1, move_sorted.shape[1]), move_sorted.dtype),
+         jnp.cumsum(move_sorted, axis=0)])
+    return c0[bounds[1:]] - c0[bounds[:-1]]
+
+
 def _optimize_layout(pos0, heads, tails, epochs_per_sample, key, a, b,
                      n_epochs, initial_alpha=1.0, negative_sample_rate=5):
     """SGD over the UMAP objective, macro-batched into epoch segments.
@@ -121,14 +165,27 @@ def _optimize_layout(pos0, heads, tails, epochs_per_sample, key, a, b,
     host sync between them.
     """
     e = heads.shape[0]
-    # ~2e8 scatter/gather elements per segment ≈ seconds per dispatch
-    per_epoch = e * (2 + negative_sample_rate)
+    n = pos0.shape[0]
+    heads = np.asarray(heads)
+    tails = np.asarray(tails)
+    h_sort, ord_idx, both_bounds, head_bounds, _ = _segment_structure(
+        heads, tails, n)
+    heads_d = jnp.asarray(heads[h_sort])
+    tails_d = jnp.asarray(tails[h_sort])
+    eps_edge = jnp.asarray(
+        np.asarray(epochs_per_sample)[h_sort]).astype(pos0.dtype)
+    ord_d = jnp.asarray(ord_idx)
+    bb_d = jnp.asarray(both_bounds)
+    hb_d = jnp.asarray(head_bounds)
+
+    # ~2e8 gather/cumsum elements per segment ≈ seconds per dispatch
+    per_epoch = e * (4 + negative_sample_rate)
     seg = int(np.clip(2e8 // max(per_epoch, 1), 1, n_epochs))
-    eps_edge = epochs_per_sample.astype(pos0.dtype)
     state = (pos0, eps_edge, key)
     for e0 in range(0, n_epochs, seg):
         e1 = min(e0 + seg, n_epochs)
-        state = _optimize_segment(state, heads, tails, eps_edge, a, b,
+        state = _optimize_segment(state, heads_d, tails_d, eps_edge,
+                                  ord_d, bb_d, hb_d, a, b,
                                   n_epochs, e0, e1, initial_alpha,
                                   negative_sample_rate)
     return state[0]
@@ -136,10 +193,15 @@ def _optimize_layout(pos0, heads, tails, epochs_per_sample, key, a, b,
 
 @partial(jax.jit, static_argnames=("n_epochs", "epoch0", "epoch1",
                                    "negative_sample_rate"))
-def _optimize_segment(state, heads, tails, eps_edge, a, b, n_epochs,
+def _optimize_segment(state, heads, tails, eps_edge, ord_idx,
+                      both_bounds, head_bounds, a, b, n_epochs,
                       epoch0, epoch1, initial_alpha=1.0,
                       negative_sample_rate=5):
-    """Epochs [epoch0, epoch1) of the UMAP SGD, all edges vectorized."""
+    """Epochs [epoch0, epoch1) of the UMAP SGD, all edges vectorized.
+
+    ``heads``/``tails``/``eps_edge`` are head-sorted; the endpoint
+    updates run scatter-free through ``_segment_delta`` (see
+    ``_segment_structure``)."""
     n = state[0].shape[0]
     e = heads.shape[0]
     eps = 1e-3
@@ -160,8 +222,9 @@ def _optimize_segment(state, heads, tails, eps_edge, a, b, n_epochs,
         grad_coeff = jnp.where(d2 > 0, grad_coeff, 0.0)
         move = clip(grad_coeff[:, None] * diff) * alpha
         move = jnp.where(active[:, None], move, 0.0)
-        pos = pos.at[heads].add(move)
-        pos = pos.at[tails].add(-move)
+        # +move at heads, -move at tails, in one segment pass
+        mv_all = jnp.concatenate([move, -move])[ord_idx]
+        pos = pos + _segment_delta(mv_all, both_bounds)
 
         # negative sampling: repel heads from random points
         key, sub = jax.random.split(key)
@@ -174,7 +237,8 @@ def _optimize_segment(state, heads, tails, eps_edge, a, b, n_epochs,
         rep_coeff = (2.0 * b) / ((eps + d2n) * (a * d2n ** b + 1.0))
         moven = clip(rep_coeff[:, :, None] * diffn).sum(axis=1) * alpha
         moven = jnp.where(active[:, None], moven, 0.0)
-        pos = pos.at[heads].add(moven)
+        # edges are head-sorted, so moven is already segment-sorted
+        pos = pos + _segment_delta(moven, head_bounds)
 
         eons = jnp.where(active, eons + eps_edge, eons)
         return (pos, eons, key)
