@@ -238,3 +238,52 @@ def test_degraded_recall_association_fidelity():
     r = np.corrcoef(np.asarray(res_ex.ncorrs),
                     np.asarray(res_dg.ncorrs))[0, 1]
     assert r > 0.97, (r, rec)
+
+
+def test_atlas_scale_recall_fidelity_100k():
+    """VERDICT r4 item 2 (open since r2): at a scale where IVF recall
+    genuinely degrades (100k cells), a capped-probe-budget graph with
+    recall ~0.85-0.9 must still reproduce the association outputs of a
+    near-exact graph — the evidence that sub-quadratic kNN can replace
+    the reference's exact scanpy graph at atlas scale without moving
+    the science.  (The 12k test above exercises the mechanism; this one
+    exercises the operating regime.)"""
+    import cna_tpu
+    from cna_tpu import pp
+    from cna_tpu.data import synthetic_dataset
+    from cna_tpu.pp.ivf import ivf_knn, measured_recall
+
+    n_samples, cells_per = 50, 2000  # 100k cells
+    d_ex, samplem = synthetic_dataset(
+        n_samples=n_samples, cells_per_sample=cells_per, n_genes=30,
+        seed=13, structure="manifold")
+    d_dg, _ = synthetic_dataset(
+        n_samples=n_samples, cells_per_sample=cells_per, n_genes=30,
+        seed=13, structure="manifold")
+    y = samplem["case"].astype(float)
+
+    # near-exact side: approx_max_k blocked search (recall >= ~0.99 —
+    # the role scanpy's own approximate kNN plays for the reference)
+    pp.pca(d_ex, n_comps=20)
+    pp.neighbors(d_ex, n_neighbors=15, method="approx")
+
+    # degraded side: capped probe budget, no escalation
+    pp.pca(d_dg, n_comps=20)
+    rep = np.asarray(d_dg.obsm["X_pca"], np.float32)
+    idx, dists = ivf_knn(rep, 15, u0=1, g=64, min_recall=None, seed=0)
+    rec = measured_recall(rep, idx, 15, seed=3, exact=False)
+    assert rec < 0.93, f"degradation did not engage (recall {rec})"
+    assert rec > 0.7, f"graph too degraded to be a fair probe ({rec})"
+    conn = fuzzy_connectivities(idx, dists)
+    d_dg.obsp["connectivities"] = conn
+    d_dg.obsp["distances"] = conn  # placeholder, unused
+
+    res_ex = cna_tpu.tl.association(d_ex, y, "id", Nnull=200, seed=0,
+                                    return_full=True)
+    res_dg = cna_tpu.tl.association(d_dg, y, "id", Nnull=200, seed=0,
+                                    return_full=True)
+    # global decision is rank-stable and per-cell coefficients track
+    assert (res_ex.p < 0.05) == (res_dg.p < 0.05), (res_ex.p, res_dg.p)
+    r = np.corrcoef(np.asarray(res_ex.ncorrs),
+                    np.asarray(res_dg.ncorrs))[0, 1]
+    assert r > 0.97, (r, rec)
