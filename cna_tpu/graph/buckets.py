@@ -107,8 +107,14 @@ def plan_buckets(sorted_degrees, max_buckets: int = 8, pad_to: int = 8,
     n = len(d)
     if n == 0:
         return []
-    widths = np.maximum(_round_up(1, pad_to),
-                        (((d + pad_to - 1) // pad_to) * pad_to))
+    # zero-degree rows get a WIDTH-0 segment (free), not a pad_to-wide
+    # one: on 1M UMAP-union graphs a large fraction of rows have mirror
+    # in-degree 0, and a width-8 bucket over them is pure gather waste
+    widths = np.where(
+        d > 0,
+        np.maximum(_round_up(1, pad_to),
+                   (((d + pad_to - 1) // pad_to) * pad_to)),
+        0)
     # candidate segment ends: last row of each run of equal padded width
     ends = np.flatnonzero(np.diff(widths) != 0) + 1
     ends = np.concatenate([ends, [n]])  # exclusive end positions

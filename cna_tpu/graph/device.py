@@ -282,7 +282,8 @@ def build_sym_ell(idx_dev, w_sym, code, dtype=None,
     cum = 0
     for start, end, width in plan:
         width = min(int(width), kx)
-        width = next(c for c in _KX_CANDS if c >= width)
+        if width:
+            width = next(c for c in _KX_CANDS if c >= width)
         nb_pad = min(_bucket_up(end - start), n)
         start_eff = max(0, min(start, n - nb_pad))
         buckets_i.append(

@@ -110,8 +110,12 @@ def bucket_spmm(graph, x):
     outs = []
     for idx, w in zip(graph.indices, graph.weights):
         nb, kb = idx.shape
-        outs.append(ell_spmm(idx, w, x,
-                             block_rows=_auto_block(nb, kb, x.shape[1])))
+        if kb == 0 or nb == 0:
+            outs.append(jnp.zeros((nb, x.shape[1]), x.dtype))
+        else:
+            outs.append(ell_spmm(idx, w, x,
+                                 block_rows=_auto_block(nb, kb,
+                                                        x.shape[1])))
     return jnp.concatenate(outs, axis=0)
 
 

@@ -398,8 +398,10 @@ def _halo_step_local(t_local, b_idx, b_w, row_pos, send_rounds, rounds,
         parts.append(jax.lax.ppermute(send, meshlib.CELLS, perm))
     ext = jnp.concatenate(parts, axis=0)
     outs = [
-        jnp.einsum("nk,nks->ns", w[0], jnp.take(ext, i[0], axis=0),
-                   preferred_element_type=t_local.dtype)
+        (jnp.zeros((i.shape[1], t_local.shape[1]), t_local.dtype)
+         if i.shape[2] == 0 else
+         jnp.einsum("nk,nks->ns", w[0], jnp.take(ext, i[0], axis=0),
+                    preferred_element_type=t_local.dtype))
         for i, w in zip(b_idx, b_w)
     ]
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
