@@ -3,16 +3,20 @@
 The reference leans on ``sc.tl.umap`` for the embedding its plotting
 layer draws (reference ``plotting/_umap.py`` via ``sc.pl.umap``; built in
 demo.ipynb cell 29).  This is a from-scratch JAX implementation of the
-published UMAP layout algorithm (McInnes et al.): spectral initialization
-from the fuzzy graph, then SGD on the cross-entropy surrogate with
-per-edge sampling schedules and uniform negative sampling — vectorized
-over all edges per epoch inside one ``lax.fori_loop`` program instead of
-umap-learn's sequential Numba loop.
+published UMAP layout algorithm (McInnes et al.): spectral (or PCA)
+initialization from the fuzzy graph, then SGD on the cross-entropy
+surrogate with per-edge sampling schedules and uniform negative
+sampling — edges grouped by power-of-two visit period and processed
+batch-synchronously on their due epochs inside ``lax.fori_loop``
+programs instead of umap-learn's sequential Numba loop (see
+``_period_structure`` for the measured rationale).
 
 Differences from umap-learn (documented, intentional):
-* edges are processed batch-synchronously per epoch (displacements
-  scatter-added), not in sequential order — standard for accelerator
-  ports of UMAP;
+* edges are processed batch-synchronously per due epoch (scatter-free
+  segment accumulation), not in sequential order — standard for
+  accelerator ports of UMAP;
+* per-edge visit rates are quantized to powers of two (error <=
+  sqrt(2) on the schedule heuristic);
 * the RNG is JAX's counter-based PRNG, so layouts match umap-learn in
   quality, not bit-for-bit.
 """
@@ -108,39 +112,71 @@ def spectral_init(conn, n_components=2, seed=0, tol=1e-4, maxiter=None):
     return (emb * expansion).astype(np.float32), mode
 
 
-def _segment_structure(heads, tails, n):
-    """Static accumulation structure for the scatter-free SGD epoch.
+def _bucket_up(v: int) -> int:
+    """Quarter-octave shape bucket (stable compiled shapes across
+    datasets of similar size)."""
+    step = max((1 << max(int(v) - 1, 0).bit_length()) // 4, 8)
+    return ((int(v) + step - 1) // step) * step
 
-    TPU scatters cost ~0.9 s per 1e7 elements (CLAUDE.md); the three
-    per-epoch (E, 2) scatter-adds dominated the 500k layout at
-    3.1 s/epoch (UMAP_PROFILE r4).  The per-row sums are instead
-    computed with the sort-into-segments trick proven in
-    ``graph.device``: edges are stored HEAD-SORTED; the (static)
-    argsort of [heads ‖ tails] turns both endpoint updates into one
-    segment-sum over a cumulative sum — an (N+1,)-bounds gather of the
-    running cumsum, a subtract, and a DENSE (N, 2) add.  Zero scatters.
 
-    Returns host arrays:
-      h_sort: (E,) permutation sorting edges by head (applied once to
-        the edge arrays at build).
-      both_src: (2E,) edge index feeding the combined attract pass
-        (entries >= E mean "tail end: negate move").
-      both_bounds: (N+1,) segment bounds of the combined sorted keys.
-      head_bounds: (N+1,) segment bounds of the (sorted) heads — reused
-        by the negative-sampling accumulation.
+def _period_structure(heads, tails, eps_edge, n, max_period=256):
+    """Static due-edge structure for the scatter-free SGD epoch.
+
+    Two measured facts shape this (UMAP_PROFILE 500k, r5): TPU scatters
+    cost ~0.9 s per 1e7 elements, and the batch-all-edges epoch computes
+    every edge every epoch while the published sequential algorithm
+    visits an edge only when its ``epochs_per_sample`` schedule says so
+    (~20% of edges per epoch on fuzzy kNN graphs) — a single CPU thread
+    beat the all-edges TPU epoch ~7x on visit economy alone.
+
+    Both fixed at once:
+
+    * visit periods are quantized to powers of two (visit-rate error
+      <= sqrt(2), immaterial next to the schedule's own heuristic role)
+      and edges grouped by period — at epoch i only groups with
+      ``(i+1) % period == 0`` run, inside ``lax.cond`` branches that
+      skip the work entirely when inactive;
+    * within each group, edges are head-sorted and ALL endpoint updates
+      (attract +move at heads, −move at tails, negative-sample repulsion
+      at heads) run scatter-free through ONE segment pass: a (static)
+      argsort of [heads ‖ tails ‖ heads] turns the accumulation into one
+      cumulative sum + boundary-diff + DENSE (N+1, 2) add (the
+      sort-into-segments trick from ``graph.device``);
+    * negative samples are drawn as R-row windows from a per-epoch
+      shuffled position buffer (the classic fixed negative-table
+      scheme): one (N, 2) gather per epoch replaces the (E, R, 2)
+      arbitrary-row gather, measured 4.4x cheaper at 500k.
+
+    Each group is padded to a quarter-octave size with dummy edges on
+    the sentinel row ``n`` (position duplicates row 0's start; d2 = 0
+    kills the attract gradient, and the dummy's negative kicks land on
+    the sentinel row, which is sliced off) so compiled shapes are stable
+    across similar datasets.
+
+    Returns a list of per-group dicts (host arrays) ordered by period.
     """
-    h_sort = np.argsort(heads, kind="stable")
-    heads_s = heads[h_sort]
-    tails_s = tails[h_sort]
-    e = len(heads_s)
-    keys = np.concatenate([heads_s, tails_s])
-    ord_ = np.argsort(keys, kind="stable")
-    keys_sorted = keys[ord_]
-    rows = np.arange(n + 1)
-    both_bounds = np.searchsorted(keys_sorted, rows).astype(np.int32)
-    head_bounds = np.searchsorted(heads_s, rows).astype(np.int32)
-    return (h_sort.astype(np.int32), ord_.astype(np.int32),
-            both_bounds, head_bounds, e)
+    eps = np.maximum(np.asarray(eps_edge, np.float64), 1.0)
+    p = np.clip(2 ** np.round(np.log2(eps)), 1,
+                max_period).astype(np.int64)
+    order = np.lexsort((heads, p))
+    groups = []
+    for period in np.unique(p):
+        sel = order[p[order] == period]
+        e_g = len(sel)
+        e_pad = _bucket_up(e_g)
+        h = np.full(e_pad, n, np.int32)
+        t = np.full(e_pad, n, np.int32)
+        h[:e_g] = heads[sel]
+        t[:e_g] = tails[sel]
+        keys = np.concatenate([h, t, h])
+        ord_ = np.argsort(keys, kind="stable").astype(np.int32)
+        bounds = np.searchsorted(
+            keys[ord_], np.arange(n + 2)).astype(np.int32)
+        groups.append({
+            "period": int(period),
+            "heads": h, "tails": t, "ord": ord_, "bounds": bounds,
+        })
+    return groups
 
 
 def _segment_delta(move_sorted, bounds):
@@ -164,93 +200,135 @@ def _optimize_layout(pos0, heads, tails, epochs_per_sample, key, a, b,
     the loop, state threads through).  Segments queue asynchronously; no
     host sync between them.
     """
-    e = heads.shape[0]
     n = pos0.shape[0]
     heads = np.asarray(heads)
     tails = np.asarray(tails)
-    h_sort, ord_idx, both_bounds, head_bounds, _ = _segment_structure(
-        heads, tails, n)
-    heads_d = jnp.asarray(heads[h_sort])
-    tails_d = jnp.asarray(tails[h_sort])
-    eps_edge = jnp.asarray(
-        np.asarray(epochs_per_sample)[h_sort]).astype(pos0.dtype)
-    ord_d = jnp.asarray(ord_idx)
-    bb_d = jnp.asarray(both_bounds)
-    hb_d = jnp.asarray(head_bounds)
+    groups = _period_structure(heads, tails,
+                               np.asarray(epochs_per_sample), n)
+    periods = tuple(g["period"] for g in groups)
+    groups_dev = tuple(
+        (jnp.asarray(g["heads"]), jnp.asarray(g["tails"]),
+         jnp.asarray(g["ord"]), jnp.asarray(g["bounds"]))
+        for g in groups)
+    # static negative table: a fixed random permutation of the cells,
+    # re-gathered from the CURRENT positions once per epoch and read in
+    # R-row windows (every window entry is a uniform random cell)
+    rng_neg = np.random.RandomState(0x5eed)
+    nw = max(n // negative_sample_rate, 1)
+    neg_perm = jnp.asarray(rng_neg.permutation(n)[
+        : nw * negative_sample_rate].astype(np.int32))
+    # sentinel row n absorbs dummy-edge updates; sliced off at the end
+    pos = jnp.concatenate(
+        [pos0, jnp.zeros((1, pos0.shape[1]), pos0.dtype)])
 
     # ~2e8 gather/cumsum elements per segment ≈ seconds per dispatch
-    per_epoch = e * (4 + negative_sample_rate)
-    seg = int(np.clip(2e8 // max(per_epoch, 1), 1, n_epochs))
-    state = (pos0, eps_edge, key)
+    # (expected per-epoch visits = sum over groups of E_g / period)
+    per_epoch = sum(
+        (len(g["heads"]) / g["period"]) * (4 + negative_sample_rate)
+        for g in groups)
+    seg = int(np.clip(2e8 // max(int(per_epoch), 1), 1, n_epochs))
+    state = (pos, key)
     for e0 in range(0, n_epochs, seg):
         e1 = min(e0 + seg, n_epochs)
-        state = _optimize_segment(state, heads_d, tails_d, eps_edge,
-                                  ord_d, bb_d, hb_d, a, b,
-                                  n_epochs, e0, e1, initial_alpha,
-                                  negative_sample_rate)
-    return state[0]
+        # epoch bounds ride as DYNAMIC operands: every segment (and
+        # every n_epochs) reuses ONE compiled program — static bounds
+        # recompiled per segment (measured 725 vs 291 ms/epoch at
+        # 12 vs 48 epochs purely from per-segment compile overhead)
+        state = _optimize_segment(state, groups_dev, neg_perm, a, b,
+                                  jnp.float32(n_epochs),
+                                  jnp.int32(e0), jnp.int32(e1),
+                                  initial_alpha,
+                                  negative_sample_rate, periods)
+    return state[0][:n]
 
 
-@partial(jax.jit, static_argnames=("n_epochs", "epoch0", "epoch1",
-                                   "negative_sample_rate"))
-def _optimize_segment(state, heads, tails, eps_edge, ord_idx,
-                      both_bounds, head_bounds, a, b, n_epochs,
+@partial(jax.jit, static_argnames=("negative_sample_rate", "periods"))
+def _optimize_segment(state, groups_dev, neg_perm, a, b, n_epochs,
                       epoch0, epoch1, initial_alpha=1.0,
-                      negative_sample_rate=5):
-    """Epochs [epoch0, epoch1) of the UMAP SGD, all edges vectorized.
+                      negative_sample_rate=5, periods=()):
+    """Epochs [epoch0, epoch1) of the UMAP SGD.
 
-    ``heads``/``tails``/``eps_edge`` are head-sorted; the endpoint
-    updates run scatter-free through ``_segment_delta`` (see
-    ``_segment_structure``)."""
-    n = state[0].shape[0]
-    e = heads.shape[0]
+    Edges live in per-period groups (``_period_structure``); a group
+    runs only on its due epochs, inside ``lax.cond`` so off-epochs cost
+    nothing.  All endpoint accumulation is scatter-free, attract and
+    repulsion forces are computed on the epoch's starting positions and
+    applied in one segment pass per group."""
     eps = 1e-3
+    r_neg = negative_sample_rate
     clip = lambda x: jnp.clip(x, -4.0, 4.0)
 
     def epoch_body(i, state):
-        pos, eons, key = state
+        pos, key = state
         alpha = initial_alpha * (1.0 - i / n_epochs)
-        active = eons <= i  # (E,) edges due this epoch
+        # per-epoch negative table refresh: (Nw, R, 2) windows of the
+        # current positions in a fixed random order
+        ptab = pos[neg_perm].reshape(-1, r_neg, pos.shape[1])
+        nw = ptab.shape[0]
 
-        ph = pos[heads]  # (E, 2)
-        pt = pos[tails]
-        diff = ph - pt
-        d2 = jnp.sum(diff * diff, axis=1)
-        # attractive gradient coefficient
-        grad_coeff = (-2.0 * a * b * d2 ** (b - 1.0)
-                      / (a * d2 ** b + 1.0))
-        grad_coeff = jnp.where(d2 > 0, grad_coeff, 0.0)
-        move = clip(grad_coeff[:, None] * diff) * alpha
-        move = jnp.where(active[:, None], move, 0.0)
-        # +move at heads, -move at tails, in one segment pass
-        mv_all = jnp.concatenate([move, -move])[ord_idx]
-        pos = pos + _segment_delta(mv_all, both_bounds)
+        # every group's forces are computed from the SAME epoch-start
+        # positions and summed into one delta — the group phases are
+        # then independent dataflow XLA can overlap, instead of a
+        # serial latency chain of sequential pos updates (measured: the
+        # sequential form was latency-bound, ~0.6 s/epoch at 500k with
+        # R=1 vs R=5 nearly identical)
+        delta = jnp.zeros_like(pos)
+        for period, (heads, tails, ord_idx, bounds) in zip(
+                periods, groups_dev):
+            key, sub = jax.random.split(key)
 
-        # negative sampling: repel heads from random points
-        key, sub = jax.random.split(key)
-        negs = jax.random.randint(
-            sub, (e, negative_sample_rate), 0, n)
-        ph = pos[heads]
-        pn = pos[negs]  # (E, R, 2)
-        diffn = ph[:, None, :] - pn
-        d2n = jnp.sum(diffn * diffn, axis=2)
-        rep_coeff = (2.0 * b) / ((eps + d2n) * (a * d2n ** b + 1.0))
-        moven = clip(rep_coeff[:, :, None] * diffn).sum(axis=1) * alpha
-        moven = jnp.where(active[:, None], moven, 0.0)
-        # edges are head-sorted, so moven is already segment-sorted
-        pos = pos + _segment_delta(moven, head_bounds)
+            def run(sub, heads=heads, tails=tails, ord_idx=ord_idx,
+                    bounds=bounds):
+                e_g = heads.shape[0]
+                ph = pos[heads]  # (Eg, 2)
+                pt = pos[tails]
+                diff = ph - pt
+                d2 = jnp.sum(diff * diff, axis=1)
+                grad_coeff = (-2.0 * a * b * d2 ** (b - 1.0)
+                              / (a * d2 ** b + 1.0))
+                grad_coeff = jnp.where(d2 > 0, grad_coeff, 0.0)
+                move = clip(grad_coeff[:, None] * diff) * alpha
 
-        eons = jnp.where(active, eons + eps_edge, eons)
-        return (pos, eons, key)
+                # negative sampling: R-row window of the shuffled table
+                bases = jax.random.randint(sub, (e_g,), 0, nw)
+                pn = ptab[bases]  # (Eg, R, 2)
+                diffn = ph[:, None, :] - pn
+                d2n = jnp.sum(diffn * diffn, axis=2)
+                rep_coeff = (2.0 * b) / ((eps + d2n)
+                                         * (a * d2n ** b + 1.0))
+                moven = clip(rep_coeff[:, :, None] * diffn).sum(
+                    axis=1) * alpha
+
+                # +move at heads, -move at tails, +moven at heads — one
+                # cumulative-sum segment pass over [E ‖ E ‖ E]
+                mv_all = jnp.concatenate([move, -move, moven])[ord_idx]
+                return _segment_delta(mv_all, bounds)
+
+            if period == 1:
+                delta = delta + run(sub)
+            else:
+                delta = delta + jax.lax.cond(
+                    (i + 1) % period == 0, run,
+                    lambda sub: jnp.zeros_like(pos), sub)
+        return (pos + delta, key)
 
     return jax.lax.fori_loop(epoch0, epoch1, epoch_body, state)
 
 
+_SPECTRAL_AUTO_MAX_N = 200_000
+
+
 def umap(data, n_components=2, n_epochs=None, min_dist=0.1, spread=1.0,
-         negative_sample_rate=5, seed=0, key_added="X_umap"):
+         negative_sample_rate=5, seed=0, key_added="X_umap",
+         init="auto"):
     """Compute a UMAP embedding of the cells into ``data.obsm[key_added]``.
 
     Requires ``data.obsp['connectivities']`` (run ``pp.neighbors`` first).
+
+    ``init``: 'spectral' (umap-learn's default; host LOBPCG — measured
+    250 s at 500k cells on this class of host), 'pca' (first two PCA
+    components, O(1) when ``obsm['X_pca']`` exists — the standard
+    at-scale alternative), 'random', or 'auto' (spectral up to 200k
+    cells, then pca).
     """
     conn = data.obsp.get("connectivities")
     if conn is None:
@@ -276,8 +354,23 @@ def umap(data, n_components=2, n_epochs=None, min_dist=0.1, spread=1.0,
     eps_edge = w.max() / w[keep]
 
     a, b = _fit_ab(spread=spread, min_dist=min_dist)
-    pos0, init_mode = spectral_init(conn, n_components=n_components,
-                                    seed=seed)
+    if init == "auto":
+        init = ("spectral" if n <= _SPECTRAL_AUTO_MAX_N
+                or "X_pca" not in getattr(data, "obsm", {})
+                else "pca")
+    if init == "pca":
+        emb = np.asarray(data.obsm["X_pca"])[:, :n_components]
+        emb = emb - emb.mean(axis=0, keepdims=True)
+        pos0 = (emb * (10.0 / max(np.abs(emb).max(), 1e-12))).astype(
+            np.float32)
+        init_mode = "pca"
+    elif init == "random":
+        rng = np.random.RandomState(seed)
+        pos0 = rng.uniform(-10, 10, (n, n_components)).astype(np.float32)
+        init_mode = "random"
+    else:
+        pos0, init_mode = spectral_init(conn, n_components=n_components,
+                                        seed=seed)
 
     pos = _optimize_layout(
         jnp.asarray(pos0), jnp.asarray(heads), jnp.asarray(tails),

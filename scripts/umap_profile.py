@@ -68,7 +68,8 @@ def main():
 
     from cna_tpu import pp
     from cna_tpu.data import synthetic_dataset
-    from cna_tpu.pp.umap import (_fit_ab, _optimize_layout, spectral_init)
+    from cna_tpu.pp.umap import (_fit_ab, _optimize_layout,
+                                 _period_structure, spectral_init)
 
     n = int(os.environ.get("CNA_UMAP_CELLS", 500_000))
     probe_epochs = int(os.environ.get("CNA_UMAP_EPOCHS", 12))
@@ -97,9 +98,25 @@ def main():
     eps_edge = w.max() / w[keep]
     t_edges = time.time() - t0
 
+    if os.environ.get("CNA_UMAP_SKIP_SPECTRAL"):
+        # at 1M the host LOBPCG runs tens of minutes on this 2-core
+        # host; the auto path uses PCA init there anyway
+        pos0, init_mode, t_init = None, "skipped", -1.0
+    else:
+        t0 = time.time()
+        pos0, init_mode = spectral_init(conn, n_components=2, seed=0)
+        t_init = time.time() - t0
+    # the pp.umap auto rule uses PCA init above 200k cells (spectral's
+    # host LOBPCG measured 250 s at 500k on this 2-core host)
     t0 = time.time()
-    pos0, init_mode = spectral_init(conn, n_components=2, seed=0)
-    t_init = time.time() - t0
+    emb = np.asarray(d.obsm["X_pca"])[:, :2]
+    emb = emb - emb.mean(axis=0, keepdims=True)
+    pos_pca = (emb * (10.0 / max(np.abs(emb).max(), 1e-12))).astype(
+        np.float32)
+    t_init_pca = time.time() - t0
+    auto_init_s = t_init_pca if n > 200_000 else t_init
+    if pos0 is None:
+        pos0 = pos_pca
     a, b = _fit_ab()
 
     def run_epochs(epochs, seed):
@@ -115,7 +132,14 @@ def main():
     t0 = time.time()
     run_epochs(probe_epochs, 1)
     t_warm = time.time() - t0
-    per_epoch = t_warm / probe_epochs
+    # two-point decomposition: each _optimize_layout call pays a fixed
+    # cost (host period-structure build + group-array h2d) plus a
+    # per-epoch rate; probing one epoch count conflates them
+    t0 = time.time()
+    run_epochs(4 * probe_epochs, 2)
+    t_warm4 = time.time() - t0
+    per_epoch = (t_warm4 - t_warm) / (3 * probe_epochs)
+    fixed_s = max(t_warm - probe_epochs * per_epoch, 0.0)
 
     host = _host_baseline(heads, tails, eps_edge, pos0, host_epochs)
 
@@ -129,11 +153,19 @@ def main():
         "probe_epochs": probe_epochs,
         "probe_cold_s": round(t_cold, 1),
         "probe_warm_s": round(t_warm, 1),
+        "probe_warm_4x_s": round(t_warm4, 1),
         "per_epoch_s": round(per_epoch, 4),
+        "layout_fixed_s": round(fixed_s, 2),
+        "pca_init_s": round(t_init_pca, 2),
         "projected_default_run_s": round(
-            per_epoch * n_epochs_default + t_init + t_edges, 1),
+            per_epoch * n_epochs_default + fixed_s + auto_init_s
+            + t_edges, 1),
         "default_epochs": n_epochs_default,
         "init": init_mode,
+        "auto_init": "pca" if n > 200_000 else "spectral",
+        "period_groups": [
+            [g["period"], int(len(g["heads"]))]
+            for g in _period_structure(heads, tails, eps_edge, n)],
         "host_baseline": {
             "impl": "sequential C++ -O3 transliteration of umap-learn's "
                     "optimize_layout_euclidean (umap-learn/numba not "
