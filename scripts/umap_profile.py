@@ -177,9 +177,8 @@ def main():
         },
         "per_epoch_speedup_vs_host": round(
             host["per_epoch_s"] / per_epoch, 1),
-        "note": ("Scatter-free epoch: endpoint updates via static "
-                 "head/tail-sorted cumulative sums + boundary diffs "
-                 "(one dense (N,2) add each), r5; the r4 design's three "
+        "note": (
+            "Period-bucketed due-edge SGD: pow2-quantized visit periods under lax.cond, scatter-free [h||t||h] segment accumulation (cumsum + boundary diff + dense add), R-row-window negative table, dynamic segment bounds (one compiled program). per_epoch_s is the incremental rate from a two-point (12/48-epoch) fit; layout_fixed_s is the per-call structure-build + h2d cost. The r4 all-edges scatter-add design ran 3.08 s/epoch at 500k."), r5; the r4 design's three "
                  "(E,2) scatter-adds dominated at 3.1 s/epoch/500k."),
     }
     suffix = "" if n == 500_000 else f"_{n // 1000}k"
