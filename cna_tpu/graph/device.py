@@ -283,7 +283,11 @@ def build_sym_ell(idx_dev, w_sym, code, dtype=None,
     for start, end, width in plan:
         width = min(int(width), kx)
         if width:
-            width = next(c for c in _KX_CANDS if c >= width)
+            # quarter-octave width grid (8,16,24,32,40,48,...,128):
+            # shape-stable like _KX_CANDS but bounds the padded-width
+            # overhead at 25% (the pow2-ish cands grid rounded 33->64,
+            # nearly doubling that bucket's per-step gather area)
+            width = min(_bucket_up(width), kx)
         nb_pad = min(_bucket_up(end - start), n)
         start_eff = max(0, min(start, n - nb_pad))
         buckets_i.append(
