@@ -75,6 +75,15 @@ else:
     print(f"graph built: {time.time() - t0:.1f}s nnz={conn.nnz}", flush=True)
 
 n_dev = len(jax.devices())
+# steady-state methodology: a tiny throwaway plan build first absorbs
+# one-time costs (lazy imports, allocator/page-fault warmup, first-call
+# jit of the asarray paths) that otherwise land entirely on the first
+# shard count measured — the r4/r5 artifacts showed D=2-only outliers
+# (46 s partition r4; 8.5 s plan build r5) that were ordering, not D=2
+_warm = sp.random(4096, 4096, density=0.002, random_state=0,
+                  format="csr")
+_warm = (_warm + _warm.T).tocsr()
+build_halo_plan_csr(_warm, 2)
 rows = []
 # the k-means clustering is shard-count-independent: fit once, reuse
 # across every D (partition_ordering's assembly half is seconds)
